@@ -235,8 +235,10 @@ def with_gaps(table: pa.Table, gt: GroundTruth, frac_convs: float = 0.05,
     (conv_id, first_missing_turn)."""
     rng = np.random.default_rng(seed + 3)
     df = table.to_pandas()
-    sizes = df.groupby("conv_id")["turn_idx"].max()
-    eligible = sizes[sizes >= 4].index.to_numpy()
+    stats = df.groupby("conv_id")["turn_idx"].agg(["min", "max"])
+    sizes = stats["max"]
+    # composable: skip convs already perturbed (mid-stream starts)
+    eligible = stats[(stats["max"] >= 4) & (stats["min"] == 1)].index.to_numpy()
     k = max(1, int(len(sizes) * frac_convs))
     chosen = rng.choice(eligible, size=min(k, len(eligible)), replace=False)
     drop_turn = {c: int(rng.integers(2, sizes[c])) for c in chosen}  # interior: 2..max-1
@@ -266,7 +268,11 @@ def with_midstream(table: pa.Table, gt: GroundTruth, frac_convs: float = 0.05,
     rng = np.random.default_rng(seed + 4)
     df = table.to_pandas()
     sizes = df.groupby("conv_id")["turn_idx"].max()
-    eligible = sizes[sizes >= 4].index.to_numpy()
+    # composable: skip convs already gap-perturbed (their GT is truncated)
+    gap_convs = set(gt.quarantine["conv_id"]) if gt.quarantine is not None else set()
+    eligible = np.array(
+        [c for c in sizes[sizes >= 4].index if c not in gap_convs], dtype=object
+    )
     k = max(1, int(len(sizes) * frac_convs))
     chosen = rng.choice(eligible, size=min(k, len(eligible)), replace=False)
     start_at = {c: int(rng.integers(2, sizes[c])) for c in chosen}

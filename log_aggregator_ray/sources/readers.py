@@ -1,0 +1,31 @@
+"""Dataset sources (SURVEY §2.1).
+
+The reference's sources — continuous tail (S1), directory listings (S3/S4),
+file-watch (S5), HTTP ingest (S6) — all collapse in the batch recast to
+"Parquet files appear under a path"; discovery, incremental pull and
+backpressure are provided by Ray Data's streaming executor.  The one design
+obligation that remains ours is **pruning at the read**: always pass
+``columns=`` so a 2-column transform never ships 6 columns.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     **kwargs) -> rd.Dataset:
+    """Read a transcript corpus (file or directory of parquet).
+
+    ``columns=None`` reads the full transcript schema; pass a subset to prune
+    (e.g. the aggregate-only pipeline needs just conv_id/turn_idx/text).
+    """
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               **kwargs) -> rd.Dataset:
+    """Read one driver testdata table, column-pruned."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)

@@ -1,0 +1,61 @@
+"""Routing-key projection + hash bucketing (SURVEY §2.3 M7, §4 sharding).
+
+The reference routes each chunk to one sink file named ``{id}.{session}``
+(datadecoder/.../DataPumpDecoderSort.java:93-97).  Here a ``sink`` column is
+derived vectorized, and a deterministic ``bucket`` column (stable 64-bit hash
+of the sink, mod B) gives the explicit hash partitioning the pipeline shuffles
+on — ONE partitioning key reused by reassembly, doc assembly and the
+partitioned sink writes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sink_expr(batch: pa.Table) -> pa.Array:
+    """sink = conv_id, or "{conv_id}.{session}" when a session column exists
+    (reference session epochs, README.md:177-180)."""
+    if "session" in batch.column_names:
+        return pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(batch["session"], pa.string()), "."
+        )
+    return batch["conv_id"].combine_chunks() if isinstance(
+        batch["conv_id"], pa.ChunkedArray
+    ) else batch["conv_id"]
+
+
+def event_sink_expr(batch: pa.Table) -> pa.Array:
+    """Alternative router: fan out by parsed event_type (categorical sinks,
+    the status-enum analog M8)."""
+    return batch["event_type"]
+
+
+def stable_hash(values: np.ndarray) -> np.ndarray:
+    """Deterministic cross-process 64-bit hash (pandas siphash with fixed
+    key) — NOT Python hash(), which is salted per process."""
+    return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+def add_sink_and_bucket(ds, num_buckets: int = 64, router=sink_expr):
+    """Append ``sink`` and ``bucket`` columns.  ``bucket`` is the shuffle key:
+    B coarse partitions so `groupby(bucket).map_groups` processes thousands of
+    sinks per group with vectorized pandas instead of one Python call per
+    conversation (per-group overhead matters at 10^12 turns)."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        sink = router(batch)
+        if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
+            sink = pa.array(sink)
+        sink_np = np.asarray(
+            sink.to_pandas() if isinstance(sink, pa.ChunkedArray) else sink.to_pandas()
+        )
+        bucket = (stable_hash(sink_np) % num_buckets).astype(np.int32)
+        return batch.append_column("sink", sink).append_column(
+            "bucket", pa.array(bucket, pa.int32())
+        )
+
+    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
