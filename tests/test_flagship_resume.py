@@ -1,0 +1,102 @@
+"""Flagship pipeline end-to-end + checkpoint/resume (SURVEY §7 M4/M5).
+
+Resume contract (SequenceTracker analog, done better): after a partial run
+(some bucket manifests committed), a re-run skips committed buckets and the
+final output is identical to a clean one-shot run — no duplicates, no loss.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from log_aggregator_ray.fixtures import generator as gen
+from log_aggregator_ray.fixtures.oracle import decode_reference
+from log_aggregator_ray.pipelines import flagship
+from log_aggregator_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp("corpus")
+    t, gt = gen.generate_transcripts(n_convs=60, seed=42)
+    t, gt = gen.with_gaps(t, gt, frac_convs=0.1)
+    t, gt = gen.with_duplicates(t, gt, frac=0.03)
+    path = str(base / "transcripts.parquet")
+    pq.write_table(t, path)
+    return path, t, gt
+
+
+def _routed_df(out_dir):
+    return (
+        pads.dataset(os.path.join(out_dir, "routed"), format="parquet")
+        .to_table()
+        .to_pandas()
+        .sort_values(["sink", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_run_flagship_end_to_end(corpus, tmp_path):
+    path, t, gt = corpus
+    out = str(tmp_path / "out")
+    report = flagship.run_flagship(path, out, num_buckets=8)
+    assert report["buckets_this_run"] == report["buckets_total"] > 0
+    assert report["rows_in"] == t.num_rows
+    assert report["dup_dropped"] > 0 and report["quarantined"] > 0
+
+    # routed rows equality vs the independent literal oracle
+    oracle_routed, _, oracle_counts, _ = decode_reference(t)
+    got = _routed_df(out)
+    exp = (
+        oracle_routed[["sink", "turn_idx", "text"]]
+        .sort_values(["sink", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["sink", "turn_idx", "text"]].astype({"turn_idx": "int64"}),
+        exp.astype({"turn_idx": "int64"}),
+    )
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    assert (got["counter"].values == got["turn_idx"].values).all()
+
+    counts = (
+        flagship.read_sink_counts(out)
+        .sort_values("sink")
+        .reset_index(drop=True)
+        .astype({"n_rows": "int64", "max_counter": "int64"})
+    )
+    pd.testing.assert_frame_equal(counts, oracle_counts)
+
+    # enriched + parsed columns present in the routed sink files
+    assert {"event_type", "role_class", "tool_family"} <= set(got.columns)
+
+
+def test_resume_skips_and_matches(corpus, tmp_path):
+    path, t, gt = corpus
+    full, partial = str(tmp_path / "full"), str(tmp_path / "partial")
+    flagship.run_flagship(path, full, num_buckets=8)
+
+    # simulate a crash: run, then delete half the manifests AND their outputs
+    flagship.run_flagship(path, partial, num_buckets=8)
+    victims = sorted(mf.committed_buckets(partial))[:4]
+    for b in victims:
+        os.remove(os.path.join(partial, "_manifests", f"bucket={b:05d}.json"))
+        for kind in ["routed", "quarantine", "sink_counts", "docs"]:
+            os.remove(os.path.join(partial, kind, f"bucket={b:05d}.parquet"))
+
+    report = flagship.run_flagship(path, partial, num_buckets=8, resume=True)
+    assert report["buckets_skipped"] == 4  # the surviving ones were skipped
+    assert report["buckets_this_run"] == 4  # victims re-processed
+
+    pd.testing.assert_frame_equal(_routed_df(partial), _routed_df(full))
+
+
+def test_resume_bucket_mismatch_rejected(corpus, tmp_path):
+    path, _, _ = corpus
+    out = str(tmp_path / "out2")
+    flagship.run_flagship(path, out, num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        flagship.run_flagship(path, out, num_buckets=16)
