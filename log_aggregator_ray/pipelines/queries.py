@@ -1,0 +1,574 @@
+"""Driver-contract query catalog: one Ray Data callable per operator from
+SURVEY.md §2 (+ graft extensions), each paired with a DuckDB oracle SQL
+string where SQL can express it (`__ray_entry__.queries()/oracle_sql()`).
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash after sorting columns by name):
+  * every computed/aggregate column is explicitly named, identically in the
+    Ray result and the SQL (`AS n` etc.);
+  * float aggregates are rounded identically on both sides;
+  * int aggregates are cast to int64 on both sides (DuckDB sum(int) is
+    HUGEINT otherwise).
+
+Transcript queries run over a deterministic adversarial corpus (gaps +
+mid-stream + duplicates) generated into /tmp keyed by sf dir —
+``ensure_adv_corpus`` is called both inside each callable and eagerly at
+catalog build so the oracle's ``read_parquet('<path>')`` always finds it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..fixtures import generator as gen
+from ..functions import ann, dedup, dicts, textstats
+from ..sources.readers import read_table, read_transcripts
+from ..stages.enrich import apply_enrich
+from ..stages.parse import apply_parse
+from ..stages.reassemble import apply_reassemble
+from ..stages.route import add_sink_and_bucket
+
+SF_CORRECTNESS = "/root/testdata/sf0.01"  # the driver's oracle scale
+
+
+# ---------------------------------------------------------------------------
+# adversarial transcript corpus (deterministic, cached per sf)
+# ---------------------------------------------------------------------------
+
+def adv_corpus_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "_adv"
+    return gen.corpus_path(tag)
+
+
+def ensure_adv_corpus(sf_dir: str) -> str:
+    path = adv_corpus_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t, gt = gen.generate_transcripts(n_convs=gen.n_convs_for_sf(sf_dir), seed=42)
+    t, gt = gen.with_gaps(t, gt, frac_convs=0.05)
+    t, gt = gen.with_midstream(t, gt, frac_convs=0.05)
+    t, gt = gen.with_duplicates(t, gt, frac=0.03)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(t, tmp, row_group_size=64 * 1024)
+    os.replace(tmp, path)
+    return path
+
+
+def _reassembled(sf_dir: str, num_buckets: int = 32):
+    ds = read_transcripts(ensure_adv_corpus(sf_dir))
+    ds = add_sink_and_bucket(ds, num_buckets=num_buckets)
+    ds = apply_parse(ds)
+    return apply_reassemble(ds)
+
+
+# The oracle's dedup + contiguity gate, as reusable SQL CTEs over the
+# adversarial corpus (duplicates are exact row copies → DISTINCT ≡
+# first-wins; gate: turn_idx == min + row_number - 1 keeps exactly the
+# contiguous prefix from the per-conv minimum — W2/W5 semantics).
+def _gate_cte(path: str) -> str:
+    return f"""
+    WITH raw AS (
+        SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts
+        FROM read_parquet('{path}')
+    ), g AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+               min(turn_idx) OVER (PARTITION BY conv_id) AS mn
+        FROM raw
+    ), routed AS (
+        SELECT * FROM g WHERE turn_idx = mn + rn - 1
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+def build_catalog():
+    """Returns (queries: dict[str, callable], oracles: dict[str, str])."""
+    queries: dict = {}
+    oracles: dict = {}
+    adv_path = adv_corpus_path(SF_CORRECTNESS)
+
+    def q(name, fn, sql=None):
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # ---------------- transcript pipeline (SURVEY §2.3/2.6/2.7/2.8) --------
+
+    def t_event_counts(sf_dir):
+        ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
+        return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    q(
+        "t_event_counts",
+        t_event_counts,
+        f"""SELECT coalesce(regexp_extract(text, 'event=(\\w+)', 1), 'msg') AS event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{adv_path}') GROUP BY 1""",
+    )
+
+    def t_error_codes(sf_dir):
+        ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
+        errs = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["error_code"], "")),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return errs.groupby("error_code").aggregate(Count(alias_name="n"))
+
+    q(
+        "t_error_codes",
+        t_error_codes,
+        f"""SELECT regexp_extract(text, '(ERR-\\d{{3}})', 1) AS error_code,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{adv_path}')
+            WHERE regexp_matches(text, 'ERR-\\d{{3}}') GROUP BY 1""",
+    )
+
+    def t_sink_counts(sf_dir):
+        ds = _reassembled(sf_dir)
+        routed = ds.map_batches(
+            lambda df: df[df["status"] == "routed"][["sink", "counter"]],
+            batch_format="pandas",
+        )
+        out = routed.groupby("sink").aggregate(
+            Count(alias_name="n_rows"), Max("counter", alias_name="max_counter")
+        )
+        return out
+
+    q(
+        "t_sink_counts",
+        t_sink_counts,
+        _gate_cte(adv_path)
+        + """SELECT conv_id AS sink, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(max(turn_idx) AS BIGINT) AS max_counter
+             FROM routed GROUP BY 1""",
+    )
+
+    def t_routed_turns(sf_dir):
+        ds = _reassembled(sf_dir)
+        return ds.map_batches(
+            lambda df: df[df["status"] == "routed"][
+                ["conv_id", "turn_idx", "event_type", "counter"]
+            ].astype({"turn_idx": "int64"}),
+            batch_format="pandas",
+        )
+
+    q(
+        "t_routed_turns",
+        t_routed_turns,
+        _gate_cte(adv_path)
+        + """SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                    coalesce(regexp_extract(text, 'event=(\\w+)', 1), 'msg') AS event_type,
+                    CAST(turn_idx AS BIGINT) AS counter
+             FROM routed""",
+    )
+
+    def t_docs(sf_dir):
+        from ..stages.aggregate import assemble_docs
+
+        ds = _reassembled(sf_dir)
+        docs = assemble_docs(ds)
+        return docs.map_batches(
+            lambda df: df[["conv_id", "assembled_text"]], batch_format="pandas"
+        )
+
+    q(
+        "t_docs",
+        t_docs,
+        _gate_cte(adv_path)
+        + """SELECT conv_id,
+                    string_agg(text, chr(10) ORDER BY turn_idx) AS assembled_text
+             FROM routed GROUP BY conv_id""",
+    )
+
+    def t_quarantine(sf_dir):
+        ds = _reassembled(sf_dir)
+        quar = ds.map_batches(
+            lambda df: df[df["status"] == "quarantined"][
+                ["conv_id", "first_missing_turn"]
+            ],
+            batch_format="pandas",
+        )
+        return quar.groupby("conv_id").aggregate(
+            Min("first_missing_turn", alias_name="first_missing_turn")
+        )
+
+    q(
+        "t_quarantine",
+        t_quarantine,
+        _gate_cte(adv_path)
+        + """SELECT conv_id,
+                    CAST(min(mn + rn - 1) AS BIGINT) AS first_missing_turn
+             FROM g WHERE turn_idx <> mn + rn - 1 GROUP BY conv_id""",
+    )
+
+    def t_role_class_counts(sf_dir):
+        ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
+        ds = apply_enrich(ds, concurrency=2)
+        return ds.groupby("role_class").aggregate(Count(alias_name="n"))
+
+    cls_case, _ = dicts.roles_case_sql()
+    q(
+        "t_role_class_counts",
+        t_role_class_counts,
+        f"""SELECT CASE {cls_case} ELSE 'unknown' END AS role_class,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{adv_path}') GROUP BY 1""",
+    )
+
+    def t_tool_families(sf_dir):
+        ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
+        ds = apply_enrich(ds, concurrency=2)
+        tools = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["tool_family"], "")),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return tools.groupby(["tool_family", "tool_risk"]).aggregate(
+            Count(alias_name="n")
+        )
+
+    q(
+        "t_tool_families",
+        t_tool_families,
+        f"""SELECT tools.tool_family, tools.risk AS tool_risk,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{adv_path}') p
+            JOIN {dicts.tools_values_sql()}
+              ON regexp_extract(p.tool, 'tool=(\\S+)', 1) = tools.tool_name
+            GROUP BY 1, 2""",
+    )
+
+    # ---------------- generic relational operators (testdata tables) -------
+
+    def lineitem_pricing_summary(sf_dir):
+        ds = read_table(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+
+        def add_rev(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+            return t.append_column("revenue", rev)
+
+        ds = ds.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
+        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+        return out.map_batches(
+            lambda df: df.assign(
+                sum_qty=df["sum_qty"].round(2).astype("float64"),
+                sum_revenue=df["sum_revenue"].round(2),
+                avg_disc=df["avg_disc"].round(6),
+                n=df["n"].astype("int64"),
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "lineitem_pricing_summary",
+        lineitem_pricing_summary,
+        """SELECT l_returnflag, l_linestatus,
+                  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                  round(avg(l_discount), 6) AS avg_disc,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2""",
+    )
+
+    def events_by_type(sf_dir):
+        ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+        out = ds.groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        )
+        return out.map_batches(
+            lambda df: df.assign(
+                n=df["n"].astype("int64"), sum_value=df["sum_value"].round(2)
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "events_by_type",
+        events_by_type,
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1""",
+    )
+
+    def top_orders(sf_dir):
+        ds = read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        return ds.sort(
+            ["o_totalprice", "o_orderkey"], descending=[True, False]
+        ).limit(10)
+
+    q(
+        "top_orders",
+        top_orders,
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    )
+
+    def revenue_by_nation(sf_dir):
+        """Broadcast-small-side join (SURVEY §2.5): customer→nation dict is
+        built driver-side (small dims), shipped once, applied per batch."""
+        import ray
+
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        nation = pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        cust2name = cust.merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey"
+        ).set_index("c_custkey")["n_name"]
+        lookup_ref = ray.put(cust2name)
+
+        class JoinNation:
+            def __init__(self):
+                self.lk = ray.get(lookup_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["n_name"] = df["o_custkey"].map(self.lk)
+                return df[["n_name", "o_totalprice"]]
+
+        ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        joined = ds.map_batches(JoinNation, batch_format="pandas", concurrency=2)
+        out = joined.groupby("n_name").aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+        return out.map_batches(
+            lambda df: df.assign(
+                revenue=df["revenue"].round(2), n_orders=df["n_orders"].astype("int64")
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "revenue_by_nation",
+        revenue_by_nation,
+        """SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1""",
+    )
+
+    def user_first_event(sf_dir):
+        ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+        def first_per_user(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["ts", "event_id"]).head(1)
+            return df[["user_id", "event_id", "event_type"]]
+
+        return ds.groupby("user_id").map_groups(first_per_user, batch_format="pandas")
+
+    q(
+        "user_first_event",
+        user_first_event,
+        """SELECT user_id, event_id, event_type FROM (
+               SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events) WHERE rn = 1""",
+    )
+
+    def segment_counts(sf_dir):
+        ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+        out = ds.groupby("c_mktsegment").aggregate(
+            Count(alias_name="n"), Mean("c_acctbal", alias_name="avg_bal")
+        )
+        return out.map_batches(
+            lambda df: df.assign(
+                n=df["n"].astype("int64"), avg_bal=df["avg_bal"].round(4)
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "segment_counts",
+        segment_counts,
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(c_acctbal), 4) AS avg_bal
+           FROM customer GROUP BY 1""",
+    )
+
+    # ---------------- training-data ops: documents ------------------------
+
+    def docs_lang_stats(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+        out = ds.groupby("lang").aggregate(
+            Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+        )
+        return out.map_batches(
+            lambda df: df.assign(
+                n_docs=df["n_docs"].astype("int64"),
+                avg_chars=df["avg_chars"].round(4),
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "docs_lang_stats",
+        docs_lang_stats,
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  round(avg(n_chars), 4) AS avg_chars
+           FROM documents GROUP BY 1""",
+    )
+
+    def docs_token_totals(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+        ds = ds.map_batches(
+            textstats.add_token_count, batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = ds.groupby("lang").aggregate(
+            Sum("token_count", alias_name="total_tokens")
+        )
+        return out.map_batches(
+            lambda df: df.assign(total_tokens=df["total_tokens"].astype("int64")),
+            batch_format="pandas",
+        )
+
+    q(
+        "docs_token_totals",
+        docs_token_totals,
+        """SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1""",
+    )
+
+    def docs_exact_dedup(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = dedup.exact_dedup_first(ds, key_col="text", id_col="doc_id")
+        return out.map_batches(
+            lambda df: df.assign(doc_id=df["doc_id"].astype("int64")),
+            batch_format="pandas",
+        )
+
+    q(
+        "docs_exact_dedup",
+        docs_exact_dedup,
+        """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+           FROM documents GROUP BY text""",
+    )
+
+    def docs_fingerprint(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = ds.map_batches(
+            textstats.add_fingerprint, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return out.select_columns(["doc_id", "fingerprint"])
+
+    q(
+        "docs_fingerprint",
+        docs_fingerprint,
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    )
+
+    def docs_quality(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        scored = ds.map_batches(
+            textstats.QualityScorer, batch_format="pandas", concurrency=2
+        )
+        return scored.map_batches(
+            lambda df: df[["doc_id", "n_words", "quality_score"]],
+            batch_format="pandas",
+        )
+
+    q("docs_quality", docs_quality)  # heuristic scoring — rows-only check
+
+    def docs_langid(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        pred = ds.map_batches(textstats.LangId, batch_format="pandas", concurrency=2)
+        return pred.map_batches(
+            lambda df: df[["doc_id", "lang", "lang_pred"]], batch_format="pandas"
+        )
+
+    q("docs_langid", docs_langid)  # heuristic model — rows-only check
+
+    def docs_minhash_pairs(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = dedup.minhash_candidate_pairs(ds, num_hashes=32, num_bands=8)
+        return out.map_batches(
+            lambda df: df.assign(
+                id_a=df["id_a"].astype("int64"),
+                id_b=df["id_b"].astype("int64"),
+                n_bands=df["n_bands"].astype("int64"),
+            ),
+            batch_format="pandas",
+        )
+
+    q("docs_minhash_pairs", docs_minhash_pairs)  # LSH — rows-only check
+
+    def docs_simhash(sf_dir):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        sigs = dedup.simhash_signatures(ds)
+        return sigs.map_batches(
+            lambda df: df.assign(
+                doc_id=df["doc_id"].astype("int64"),
+                simhash=df["simhash"].astype("uint64"),
+            ),
+            batch_format="pandas",
+        )
+
+    q("docs_simhash", docs_simhash)  # signatures — rows-only check
+
+    # ---------------- similarity search: embeddings -----------------------
+
+    def ann_topk(sf_dir):
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        out = ann.brute_force_topk(ds, qvec, k=10, exclude_id=0)
+        return out.map_batches(
+            lambda df: df.assign(
+                vec_id=df["vec_id"].astype("int64"),
+                cos_sim=df["cos_sim"].round(6),
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "ann_topk",
+        ann_topk,
+        """WITH qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+           SELECT vec_id,
+                  round(CAST(list_cosine_similarity(embedding, qv.e) AS DOUBLE), 6) AS cos_sim
+           FROM embeddings, qv WHERE vec_id <> 0
+           ORDER BY list_cosine_similarity(embedding, qv.e) DESC, vec_id
+           LIMIT 10""",
+    )
+
+    def ann_lsh_topk(sf_dir):
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        out = ann.lsh_topk(ds, qvec, k=10, nbits=6, multiprobe=1)
+        return out.map_batches(
+            lambda df: df.assign(
+                vec_id=df["vec_id"].astype("int64"), cos_sim=df["cos_sim"].round(6)
+            ),
+            batch_format="pandas",
+        )
+
+    q("ann_lsh_topk", ann_lsh_topk)  # approximate — rows-only check
+
+    return queries, oracles

@@ -1,0 +1,134 @@
+"""Unit tests for the training-data operator library (dedup / ann /
+textstats / multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from log_aggregator_ray.functions import ann, dedup, multimodal, textstats
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",   # near-dup of 0
+        "completely different content about databases and sorting",
+        "the quick brown fox jumps over the lazy dog",    # exact dup of 0
+        "another unrelated string with its own words entirely",
+    ]
+    return pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+
+
+def test_exact_dedup_by_hash():
+    ds = rd.from_arrow(_docs_table())
+    out = dedup.exact_dedup_by_hash(ds).to_pandas()
+    # 4 distinct texts; min doc_id kept for the duplicate pair (0, 3)
+    assert len(out) == 4
+    assert 0 in set(out["doc_id"]) and 3 not in set(out["doc_id"])
+
+
+def test_minhash_finds_near_dup():
+    ds = rd.from_arrow(_docs_table())
+    pairs = dedup.minhash_candidate_pairs(ds, num_hashes=32, num_bands=16).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 3) in got  # exact dup always collides
+    assert (0, 1) in got  # near dup collides in some band
+    # verify step: jaccard confirms, unrelated pair would be rejected
+    texts = dict(zip(range(5), _docs_table()["text"].to_pylist()))
+    verified = dedup.jaccard_verify(pairs, texts, threshold=0.7)
+    vset = set(zip(verified["id_a"], verified["id_b"]))
+    assert (0, 3) in vset and (0, 1) in vset
+    assert (0, 2) not in vset
+
+
+def test_simhash_hamming():
+    ds = rd.from_arrow(_docs_table())
+    sigs = dedup.simhash_signatures(ds).to_pandas()
+    assert len(sigs) == 5
+    by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    assert by_id[0] == by_id[3]  # identical text → identical signature
+    d01 = bin(int(by_id[0]) ^ int(by_id[1])).count("1")
+    d02 = bin(int(by_id[0]) ^ int(by_id[2])).count("1")
+    assert d01 < d02  # near-dup closer than unrelated
+    near = dedup.hamming_near_pairs(sigs, max_dist=3)
+    assert (0, 3) in set(zip(near["id_a"], near["id_b"]))
+
+
+def test_ngram_jaccard_blocked():
+    t = _docs_table().append_column("grp", pa.array(["g"] * 5))
+    out = dedup.ngram_jaccard_pairs(rd.from_arrow(t), "grp", threshold=0.7).to_pandas()
+    assert (0, 3) in set(zip(out["id_a"], out["id_b"]))
+    assert out.loc[(out.id_a == 0) & (out.id_b == 3), "jaccard"].iloc[0] == 1.0
+
+
+def test_brute_force_topk_matches_numpy():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                   pa.list_(pa.float32())),
+        }
+    )
+    q = m[0]
+    out = ann.brute_force_topk(rd.from_arrow(t), q, k=5, exclude_id=0).to_pandas()
+    # numpy reference
+    m64 = m.astype(np.float64)
+    cos = (m64 @ (q / np.linalg.norm(q))) / np.linalg.norm(m64, axis=1)
+    cos[0] = -np.inf
+    exp = np.argsort(-cos)[:5]
+    assert list(out["vec_id"]) == list(exp)
+
+
+def test_lsh_topk_subset_of_exact():
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((500, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                   pa.list_(pa.float32())),
+        }
+    )
+    out = ann.lsh_topk(rd.from_arrow(t), m[7], k=5, nbits=4, multiprobe=1).to_pandas()
+    assert len(out) == 5
+    assert 7 in set(out["vec_id"])  # the query's own vector survives pruning
+
+
+def test_token_count_matches_duckdb_semantics():
+    import duckdb
+
+    t = pa.table({"text": ["a b  c", "", "single", " lead"]})
+    out = textstats.add_token_count(t)
+    exp = [r[0] for r in duckdb.sql(
+        "SELECT len(string_split(text,' ')) FROM t"
+    ).fetchall()]
+    assert out["token_count"].to_pylist() == exp
+
+
+def test_quality_and_langid_shapes():
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["The quick brown fox and the dog.", "xyz"]}
+    )
+    scored = textstats.QualityScorer()(df)
+    assert scored.loc[0, "quality_score"] > scored.loc[1, "quality_score"]
+    lid = textstats.LangId()(df)
+    assert {"lang_pred", "lang_conf"} <= set(lid.columns)
+
+
+def test_multimodal_plumbing():
+    media = multimodal.make_fake_media(48)
+    ds = rd.from_arrow(media)
+    feats = multimodal.featurize_media(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(feats) == 48
+    assert all(len(v) == 16 for v in feats["features"])
+    # deterministic: same payload → same features
+    f2 = multimodal.featurize_media(rd.from_arrow(media), concurrency=2).to_pandas()
+    a = feats.sort_values("media_id")["features"].map(tuple).tolist()
+    b = f2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+    frames = multimodal.sample_frames(ds, frames_per_video=3).to_pandas()
+    n_videos = (media["modality"].to_pandas() == "video").sum()
+    assert len(frames) == 3 * n_videos
