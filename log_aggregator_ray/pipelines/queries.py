@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..fixtures import generator as gen
 from ..functions import ann, dedup, dicts, textstats
 from ..sources.readers import read_table, read_transcripts
+from ..stages.aggregate import partial_groupby
 from ..stages.enrich import apply_enrich
 from ..stages.parse import apply_parse
 from ..stages.reassemble import apply_reassemble
@@ -49,22 +50,29 @@ def adv_corpus_path(sf_dir: str) -> str:
     return gen.corpus_path(tag)
 
 
+def adv_corpus_glob(sf_dir: str) -> str:
+    """The DuckDB-side path (corpora are directories of part files)."""
+    return os.path.join(adv_corpus_path(sf_dir), "*.parquet")
+
+
 def ensure_adv_corpus(sf_dir: str) -> str:
     path = adv_corpus_path(sf_dir)
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
+    t, gt = gen.generate_transcripts(
+        n_convs=gen.n_convs_for_sf(sf_dir), seed=42, compute_gt=False
+    )
+    t, _ = gen.with_gaps(t, None, frac_convs=0.05)
+    t, _ = gen.with_midstream(t, None, frac_convs=0.05)
+    t, _ = gen.with_duplicates(t, None, frac=0.03)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    t, gt = gen.generate_transcripts(n_convs=gen.n_convs_for_sf(sf_dir), seed=42)
-    t, gt = gen.with_gaps(t, gt, frac_convs=0.05)
-    t, gt = gen.with_midstream(t, gt, frac_convs=0.05)
-    t, gt = gen.with_duplicates(t, gt, frac=0.03)
-    tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(t, tmp, row_group_size=64 * 1024)
-    os.replace(tmp, path)
-    return path
+    return gen.write_corpus_dir(t, path)
 
 
 def _reassembled(sf_dir: str, num_buckets: int = 32):
+    from .. import tuning
+
+    tuning.configure()
     ds = read_transcripts(ensure_adv_corpus(sf_dir))
     ds = add_sink_and_bucket(ds, num_buckets=num_buckets)
     ds = apply_parse(ds)
@@ -98,7 +106,7 @@ def build_catalog():
     """Returns (queries: dict[str, callable], oracles: dict[str, str])."""
     queries: dict = {}
     oracles: dict = {}
-    adv_path = adv_corpus_path(SF_CORRECTNESS)
+    adv_path = adv_corpus_glob(SF_CORRECTNESS)
 
     def q(name, fn, sql=None):
         queries[name] = fn
@@ -109,7 +117,7 @@ def build_catalog():
 
     def t_event_counts(sf_dir):
         ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
-        return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+        return partial_groupby(ds, ["event_type"], {"n": (None, "count")})
 
     q(
         "t_event_counts",
@@ -125,7 +133,7 @@ def build_catalog():
             lambda t: t.filter(pc.not_equal(t["error_code"], "")),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        return errs.groupby("error_code").aggregate(Count(alias_name="n"))
+        return partial_groupby(errs, ["error_code"], {"n": (None, "count")})
 
     q(
         "t_error_codes",
@@ -139,13 +147,16 @@ def build_catalog():
     def t_sink_counts(sf_dir):
         ds = _reassembled(sf_dir)
         routed = ds.map_batches(
-            lambda df: df[df["status"] == "routed"][["sink", "counter"]],
-            batch_format="pandas",
+            lambda t: t.filter(pc.equal(t["status"], "routed")).select(
+                ["sink", "counter"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        out = routed.groupby("sink").aggregate(
-            Count(alias_name="n_rows"), Max("counter", alias_name="max_counter")
+        return partial_groupby(
+            routed, ["sink"],
+            {"n_rows": (None, "count"), "max_counter": ("counter", "max")},
         )
-        return out
 
     q(
         "t_sink_counts",
@@ -201,8 +212,9 @@ def build_catalog():
             ],
             batch_format="pandas",
         )
-        return quar.groupby("conv_id").aggregate(
-            Min("first_missing_turn", alias_name="first_missing_turn")
+        return partial_groupby(
+            quar, ["conv_id"],
+            {"first_missing_turn": ("first_missing_turn", "min")},
         )
 
     q(
@@ -217,7 +229,7 @@ def build_catalog():
     def t_role_class_counts(sf_dir):
         ds = apply_parse(read_transcripts(ensure_adv_corpus(sf_dir)))
         ds = apply_enrich(ds, concurrency=2)
-        return ds.groupby("role_class").aggregate(Count(alias_name="n"))
+        return partial_groupby(ds, ["role_class"], {"n": (None, "count")})
 
     cls_case, _ = dicts.roles_case_sql()
     q(
@@ -235,8 +247,8 @@ def build_catalog():
             lambda t: t.filter(pc.not_equal(t["tool_family"], "")),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        return tools.groupby(["tool_family", "tool_risk"]).aggregate(
-            Count(alias_name="n")
+        return partial_groupby(
+            tools, ["tool_family", "tool_risk"], {"n": (None, "count")}
         )
 
     q(
@@ -264,20 +276,18 @@ def build_catalog():
             return t.append_column("revenue", rev)
 
         ds = ds.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
-        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n"),
+        out = partial_groupby(
+            ds, ["l_returnflag", "l_linestatus"],
+            {"sum_qty": ("l_quantity", "sum"),
+             "sum_revenue": ("revenue", "sum"),
+             "avg_disc": ("l_discount", "mean"),
+             "n": (None, "count")},
         )
-        return out.map_batches(
-            lambda df: df.assign(
-                sum_qty=df["sum_qty"].round(2).astype("float64"),
-                sum_revenue=df["sum_revenue"].round(2),
-                avg_disc=df["avg_disc"].round(6),
-                n=df["n"].astype("int64"),
-            ),
-            batch_format="pandas",
+        return out.assign(
+            sum_qty=out["sum_qty"].round(2).astype("float64"),
+            sum_revenue=out["sum_revenue"].round(2),
+            avg_disc=out["avg_disc"].round(6),
+            n=out["n"].astype("int64"),
         )
 
     q(
@@ -293,14 +303,12 @@ def build_catalog():
 
     def events_by_type(sf_dir):
         ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-        out = ds.groupby("event_type").aggregate(
-            Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        out = partial_groupby(
+            ds, ["event_type"],
+            {"n": (None, "count"), "sum_value": ("value", "sum")},
         )
-        return out.map_batches(
-            lambda df: df.assign(
-                n=df["n"].astype("int64"), sum_value=df["sum_value"].round(2)
-            ),
-            batch_format="pandas",
+        return out.assign(
+            n=out["n"].astype("int64"), sum_value=out["sum_value"].round(2)
         )
 
     q(
@@ -353,14 +361,12 @@ def build_catalog():
 
         ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         joined = ds.map_batches(JoinNation, batch_format="pandas", concurrency=2)
-        out = joined.groupby("n_name").aggregate(
-            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        out = partial_groupby(
+            joined, ["n_name"],
+            {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
         )
-        return out.map_batches(
-            lambda df: df.assign(
-                revenue=df["revenue"].round(2), n_orders=df["n_orders"].astype("int64")
-            ),
-            batch_format="pandas",
+        return out.assign(
+            revenue=out["revenue"].round(2), n_orders=out["n_orders"].astype("int64")
         )
 
     q(
@@ -394,14 +400,12 @@ def build_catalog():
 
     def segment_counts(sf_dir):
         ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
-        out = ds.groupby("c_mktsegment").aggregate(
-            Count(alias_name="n"), Mean("c_acctbal", alias_name="avg_bal")
+        out = partial_groupby(
+            ds, ["c_mktsegment"],
+            {"n": (None, "count"), "avg_bal": ("c_acctbal", "mean")},
         )
-        return out.map_batches(
-            lambda df: df.assign(
-                n=df["n"].astype("int64"), avg_bal=df["avg_bal"].round(4)
-            ),
-            batch_format="pandas",
+        return out.assign(
+            n=out["n"].astype("int64"), avg_bal=out["avg_bal"].round(4)
         )
 
     q(
@@ -416,15 +420,12 @@ def build_catalog():
 
     def docs_lang_stats(sf_dir):
         ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
-        out = ds.groupby("lang").aggregate(
-            Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+        out = partial_groupby(
+            ds, ["lang"],
+            {"n_docs": (None, "count"), "avg_chars": ("n_chars", "mean")},
         )
-        return out.map_batches(
-            lambda df: df.assign(
-                n_docs=df["n_docs"].astype("int64"),
-                avg_chars=df["avg_chars"].round(4),
-            ),
-            batch_format="pandas",
+        return out.assign(
+            n_docs=out["n_docs"].astype("int64"), avg_chars=out["avg_chars"].round(4)
         )
 
     q(
@@ -440,13 +441,10 @@ def build_catalog():
         ds = ds.map_batches(
             textstats.add_token_count, batch_format="pyarrow", zero_copy_batch=True
         )
-        out = ds.groupby("lang").aggregate(
-            Sum("token_count", alias_name="total_tokens")
+        out = partial_groupby(
+            ds, ["lang"], {"total_tokens": ("token_count", "sum")}
         )
-        return out.map_batches(
-            lambda df: df.assign(total_tokens=df["total_tokens"].astype("int64")),
-            batch_format="pandas",
-        )
+        return out.assign(total_tokens=out["total_tokens"].astype("int64"))
 
     q(
         "docs_token_totals",

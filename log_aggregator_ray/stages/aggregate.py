@@ -13,10 +13,62 @@ reconstructed`` analog (reference README.md:93-105).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Max, Sum
+
+
+def partial_groupby(ds, keys, aggs: dict) -> pd.DataFrame:
+    """Pre-aggregate-then-combine for SMALL-cardinality groupbys.
+
+    ``aggs``: out_name → (col, fn), fn ∈ {sum, count, min, max, mean}.
+    Each batch emits one row per key (pyarrow group_by — C++); the driver
+    combines the partials (O(#keys × #blocks) rows).  This avoids Ray's
+    all-to-all machinery entirely — measured fixed cost of a tiny
+    ``groupby().aggregate()`` at 32 CPUs is ~5-7 s regardless of data size,
+    vs ~0.5 s for this pattern.  Use the distributed ``groupby`` only when
+    #keys is too large for one machine (then the shuffle is genuinely
+    needed)."""
+    pa_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            pa_aggs += [(col, "sum"), (col, "count")]
+        elif fn == "count":
+            pa_aggs += [(keys[0] if col is None else col, "count")]
+        else:
+            pa_aggs += [(col, fn)]
+    # dedupe (pyarrow errors on repeated identical agg specs)
+    seen, uniq = set(), []
+    for spec in pa_aggs:
+        if spec not in seen:
+            seen.add(spec)
+            uniq.append(spec)
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate(uniq)
+
+    parts = ds.map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    combined = parts.groupby(keys, sort=True)
+    out_cols = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "sum":
+            out_cols[out] = combined[f"{col}_sum"].sum()
+        elif fn == "count":
+            c = keys[0] if col is None else col
+            out_cols[out] = combined[f"{c}_count"].sum()
+        elif fn == "min":
+            out_cols[out] = combined[f"{col}_min"].min()
+        elif fn == "max":
+            out_cols[out] = combined[f"{col}_max"].max()
+        elif fn == "mean":
+            out_cols[out] = combined[f"{col}_sum"].sum() / combined[f"{col}_count"].sum()
+    return pd.DataFrame(out_cols).reset_index()
 
 
 def routed_only(ds):
@@ -43,14 +95,40 @@ def sink_counts(ds):
     )
 
 
-def _assemble_pdf(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values(["sink", "turn_idx"], kind="mergesort")
-    out = (
-        df.groupby("sink", sort=True)
-        .agg(conv_id=("conv_id", "first"), assembled_text=("text", "\n".join))
-        .reset_index()
+def assemble_docs_table(routed: pa.Table) -> pa.Table:
+    """Per-sink ordered doc assembly over rows ALREADY sorted by
+    (sink, turn_idx), Arrow-native: sinks are contiguous runs, so build a
+    ListArray from the run offsets and ``binary_join`` — no Python string
+    objects ever (the hot-path rule: big string columns stay in Arrow)."""
+    n = routed.num_rows
+    if n == 0:
+        return pa.table(
+            {"sink": pa.array([], pa.string()), "conv_id": pa.array([], pa.string()),
+             "assembled_text": pa.array([], pa.string())}
+        )
+    codes = pc.dictionary_encode(routed["sink"].combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
     )
-    return out
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    offsets = np.append(starts, n).astype(np.int64)
+    text = routed["text"].combine_chunks()
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()), text)
+    assembled = pc.binary_join(la, "\n")
+    starts_arr = pa.array(starts)
+    return pa.table(
+        {
+            "sink": routed["sink"].take(starts_arr),
+            "conv_id": routed["conv_id"].take(starts_arr),
+            "assembled_text": assembled,
+        }
+    )
+
+
+def _assemble_bucket(t: pa.Table) -> pa.Table:
+    idx = pc.sort_indices(
+        t, sort_keys=[("sink", "ascending"), ("turn_idx", "ascending")]
+    )
+    return assemble_docs_table(t.take(idx))
 
 
 def assemble_docs(ds):
@@ -60,4 +138,4 @@ def assemble_docs(ds):
     co-located after reassembly, so this groupby moves already-grouped blocks
     only (same key as the first shuffle)."""
     routed = routed_only(ds)
-    return routed.groupby("bucket").map_groups(_assemble_pdf, batch_format="pandas")
+    return routed.groupby("bucket").map_groups(_assemble_bucket, batch_format="pyarrow")

@@ -71,6 +71,20 @@ class Enricher:
         )
 
 
+_DEFAULT_ENRICHER = None
+
+
+def enrich_table(batch: pa.Table) -> pa.Table:
+    """Task-side enrichment with a process-cached default Enricher — used
+    when enrich runs fused AFTER the shuffle (the flagship's layout: ship
+    the narrow raw rows, derive columns post-exchange).  The actor-pool
+    ``apply_enrich`` remains the pattern for genuinely heavy state."""
+    global _DEFAULT_ENRICHER
+    if _DEFAULT_ENRICHER is None:
+        _DEFAULT_ENRICHER = Enricher()
+    return _DEFAULT_ENRICHER(batch)
+
+
 def apply_enrich(ds, concurrency=2, batch_size: int = 32768, num_cpus: float = 1,
                  roles_ref=None, tools_ref=None):
     """Attach the enrich actor pool.  ``concurrency`` may be an int or

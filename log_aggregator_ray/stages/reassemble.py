@@ -21,6 +21,94 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _reassemble_kernel(codes: np.ndarray, turn: np.ndarray):
+    """Pure-numpy core shared by the pandas and Arrow paths.
+
+    ``codes``: int codes of the sink, ordered so that code order ==
+    lexicographic sink order; ``turn``: int64 turn indices.  Returns
+    (sel, routed, first_missing, dup_dropped) where ``sel`` indexes the
+    ORIGINAL rows, sorted (sink, turn_idx), duplicates removed first-wins.
+    """
+    order = np.lexsort((turn, codes))
+    c, t = codes[order], turn[order]
+    n = len(c)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=bool), z, z
+
+    same_prev = np.zeros(n, dtype=bool)
+    same_prev[1:] = (c[1:] == c[:-1]) & (t[1:] == t[:-1])
+    kept_idx = np.flatnonzero(~same_prev)
+    dup_dropped = np.diff(np.append(kept_idx, n)) - 1
+    c, t = c[kept_idx], t[kept_idx]
+    m = len(c)
+
+    new_grp = np.zeros(m, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = c[1:] != c[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    start_idx = np.flatnonzero(new_grp)
+
+    pos = np.arange(m) - start_idx[grp_id]
+    first = t[start_idx][grp_id]
+    expected = first + pos
+    contig = t == expected
+
+    brk = (~contig).astype(np.int64)
+    cum_brk = np.cumsum(brk)
+    brk_before_group = np.where(start_idx[grp_id] > 0, cum_brk[start_idx[grp_id] - 1], 0)
+    breaks_so_far = cum_brk - brk_before_group
+    routed = breaks_so_far == 0
+
+    first_break = brk & (breaks_so_far == 1)
+    fm_per_grp = np.zeros(start_idx.size, dtype=np.int64)
+    fb_rows = np.flatnonzero(first_break == 1)
+    fm_per_grp[grp_id[fb_rows]] = expected[fb_rows]
+    first_missing = np.where(routed, 0, fm_per_grp[grp_id])
+
+    return order[kept_idx], routed, first_missing, dup_dropped
+
+
+def _lex_codes(sink: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Integer codes for the sink column whose order matches lexicographic
+    string order.  dictionary_encode gives first-appearance codes; re-rank
+    the (small) dictionary so code comparisons == string comparisons.
+    Strings never become Python objects for the big column."""
+    if isinstance(sink, pa.ChunkedArray):
+        enc = pc.dictionary_encode(sink.combine_chunks())
+    else:
+        enc = pc.dictionary_encode(sink)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_sorted_rank = np.empty(len(enc.dictionary), dtype=np.int64)
+    dict_sorted_rank[
+        pc.sort_indices(enc.dictionary).to_numpy(zero_copy_only=False)
+    ] = np.arange(len(enc.dictionary))
+    return dict_sorted_rank[codes]
+
+
+def reassemble_table(t: pa.Table) -> pa.Table:
+    """Arrow-native reassembly (the hot path): dictionary-encode + lexsort +
+    one ``take`` — no per-row Python, no pandas object conversion."""
+    codes = _lex_codes(t["sink"])
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel, routed, first_missing, dup_dropped = _reassemble_kernel(codes, turn)
+    out = t.take(pa.array(sel))
+    status = pc.cast(
+        pa.DictionaryArray.from_arrays(
+            pa.array(np.where(routed, 1, 0), pa.int32()),
+            pa.array(["quarantined", "routed"]),
+        ),
+        pa.string(),
+    )
+    return (
+        out.append_column("status", status)
+        .append_column("first_missing_turn", pa.array(first_missing, pa.int64()))
+        .append_column("dup_dropped", pa.array(dup_dropped, pa.int64()))
+    )
 
 
 def reassemble_pdf(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,62 +128,23 @@ def reassemble_pdf(df: pd.DataFrame) -> pd.DataFrame:
         out["dup_dropped"] = pd.Series([], dtype=np.int64)
         return out
 
-    df = df.sort_values(["sink", "turn_idx"], kind="mergesort").reset_index(drop=True)
-    sink = df["sink"].to_numpy()
-    t = df["turn_idx"].to_numpy().astype(np.int64)
-    n = len(df)
-
-    # first-wins dedup on (sink, turn_idx) — D1/D2
-    same_as_prev = np.zeros(n, dtype=bool)
-    same_as_prev[1:] = (sink[1:] == sink[:-1]) & (t[1:] == t[:-1])
-    keep = ~same_as_prev
-    # per kept row, how many following duplicates were collapsed into it
-    kept_idx = np.flatnonzero(keep)
-    dup_counts = np.diff(np.append(kept_idx, n)) - 1
-
-    df = df.iloc[kept_idx].reset_index(drop=True)
-    sink = sink[kept_idx]
-    t = t[kept_idx]
-    n = len(df)
-
-    # group boundaries after dedup
-    new_grp = np.zeros(n, dtype=bool)
-    new_grp[0] = True
-    new_grp[1:] = sink[1:] != sink[:-1]
-    grp_id = np.cumsum(new_grp) - 1
-    start_idx = np.flatnonzero(new_grp)
-
-    # expected turn under contiguity from the group's min (W5 mid-stream init)
-    pos = np.arange(n) - start_idx[grp_id]
-    first = t[start_idx][grp_id]
-    expected = first + pos
-    contig = t == expected
-
-    # routed = no contiguity break at or before this row within its group
-    brk = (~contig).astype(np.int64)
-    cum_brk = np.cumsum(brk)
-    brk_before_group = np.where(start_idx[grp_id] > 0, cum_brk[start_idx[grp_id] - 1], 0)
-    breaks_so_far = cum_brk - brk_before_group
-    routed = breaks_so_far == 0
-
-    # first missing turn per group = expected value at the group's first break
-    first_break = brk & (breaks_so_far == 1)
-    fm_per_grp = np.zeros(start_idx.size, dtype=np.int64)
-    fb_rows = np.flatnonzero(first_break == 1)
-    fm_per_grp[grp_id[fb_rows]] = expected[fb_rows]
-    first_missing = np.where(routed, 0, fm_per_grp[grp_id])
-
-    df["status"] = np.where(routed, "routed", "quarantined")
-    df["first_missing_turn"] = first_missing
-    df["dup_dropped"] = dup_counts
-    return df
+    codes = np.unique(df["sink"].to_numpy(), return_inverse=True)[1]
+    turn = df["turn_idx"].to_numpy().astype(np.int64)
+    sel, routed, first_missing, dup_dropped = _reassemble_kernel(codes, turn)
+    out = df.iloc[sel].reset_index(drop=True)
+    out["status"] = np.where(routed, "routed", "quarantined")
+    out["first_missing_turn"] = first_missing
+    out["dup_dropped"] = dup_dropped
+    return out
 
 
-def apply_reassemble(ds, batch_format: str = "pandas"):
-    """groupby(bucket) shuffle + per-bucket vectorized reassembly.
+def apply_reassemble(ds):
+    """groupby(bucket) shuffle + per-bucket Arrow-native reassembly.
 
-    Requires ``sink`` and ``bucket`` columns (stages.route).  This is the
-    pipeline's single wide exchange; skew note — a pathologically hot sink
-    still lands in one bucket; see stages.skew for pre-shuffle salting of the
-    stateless stages and bucket splitting."""
-    return ds.groupby("bucket").map_groups(reassemble_pdf, batch_format=batch_format)
+    Requires ``sink`` and ``bucket`` columns (stages.route); ``bucket`` is
+    kept in the output so downstream per-bucket stages (doc assembly, sinks)
+    reuse the partitioning.  This is the pipeline's single wide exchange;
+    skew note — a pathologically hot sink still lands in one bucket; see
+    stages.skew for pre-shuffle salting of the stateless stages and bucket
+    splitting."""
+    return ds.groupby("bucket").map_groups(reassemble_table, batch_format="pyarrow")

@@ -76,10 +76,15 @@ def test_midstream_variant():
 
 
 def test_ensure_corpus_idempotent(tmp_path):
-    p1 = gen.ensure_corpus("t", n_convs=30, base=str(tmp_path))
-    mtime = __import__("os").path.getmtime(p1)
-    p2 = gen.ensure_corpus("t", n_convs=30, base=str(tmp_path))
-    assert p1 == p2 and __import__("os").path.getmtime(p2) == mtime
-    import pyarrow.parquet as pq
+    import os
 
-    assert pq.read_metadata(p1).num_rows > 0
+    p1 = gen.ensure_corpus("t", n_convs=30, base=str(tmp_path))
+    assert os.path.isdir(p1)
+    parts = sorted(os.listdir(p1))
+    mtimes = [os.path.getmtime(os.path.join(p1, f)) for f in parts]
+    p2 = gen.ensure_corpus("t", n_convs=30, base=str(tmp_path))
+    assert p1 == p2
+    assert [os.path.getmtime(os.path.join(p2, f)) for f in sorted(os.listdir(p2))] == mtimes
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(p1, format="parquet").count_rows() > 0
