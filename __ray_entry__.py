@@ -25,12 +25,14 @@ def _catalog():
             SF_CORRECTNESS,
             build_catalog,
             ensure_adv_corpus,
+            ensure_sessions_corpus,
         )
 
         # eagerly materialize the corpora the oracle SQL reads, so the SQL
         # side works regardless of evaluation order
         ensure_adv_corpus(SF_CORRECTNESS)
         ensure_adv_corpus("/root/testdata/sf0.001")
+        ensure_sessions_corpus(SF_CORRECTNESS)
         _CATALOG = build_catalog()
     return _CATALOG
 

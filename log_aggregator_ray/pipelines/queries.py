@@ -69,6 +69,25 @@ def ensure_adv_corpus(sf_dir: str) -> str:
     return gen.write_corpus_dir(t, path)
 
 
+def sessions_corpus_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "_sessions"
+    return gen.corpus_path(tag)
+
+
+def ensure_sessions_corpus(sf_dir: str) -> str:
+    """Clean multi-session transcript corpus (session column, turn_idx
+    restarts per session would need generator support; here one session per
+    conv with the epoch column materialized — exercises sink naming)."""
+    path = sessions_corpus_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    n = max(60, gen.n_convs_for_sf(sf_dir) // 10)
+    t, _ = gen.generate_transcripts(n_convs=n, seed=42, with_session=True,
+                                    compute_gt=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return gen.write_corpus_dir(t, path)
+
+
 def _reassembled(sf_dir: str, num_buckets: int = 32):
     from .. import tuning
 
@@ -107,6 +126,7 @@ def build_catalog():
     queries: dict = {}
     oracles: dict = {}
     adv_path = adv_corpus_glob(SF_CORRECTNESS)
+    sessions_glob = os.path.join(sessions_corpus_path(SF_CORRECTNESS), "*.parquet")
 
     def q(name, fn, sql=None):
         queries[name] = fn
@@ -528,6 +548,169 @@ def build_catalog():
         )
 
     q("docs_simhash", docs_simhash)  # signatures — rows-only check
+
+    # ---------------- windowed / sessionized / joined (SURVEY §2.10, §2.5) --
+
+    def events_tumbling(sf_dir):
+        """Tumbling 10-minute window aggregate — the engine's event-time
+        window shape (guide: groupby window key; no watermark needed in
+        batch)."""
+        ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+        def add_window(t: pa.Table) -> pa.Table:
+            us = t["ts"].cast(pa.int64())
+            w = pc.divide(us, 600_000_000)  # 10-minute buckets
+            return t.append_column("window", pc.cast(w, pa.int64()))
+
+        ds = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        out = partial_groupby(
+            ds, ["window", "event_type"],
+            {"n": (None, "count"), "sum_value": ("value", "sum")},
+        )
+        return out.assign(
+            n=out["n"].astype("int64"), sum_value=out["sum_value"].round(2)
+        )
+
+    q(
+        "events_tumbling",
+        events_tumbling,
+        """SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS window, event_type,
+                  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+    )
+
+    def events_sessionized(sf_dir):
+        """Gap-based sessionization (30-min inactivity) per user — the
+        map_groups windowing pattern over ts-sorted groups."""
+        ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+        def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            brk = (g["ts"].diff() > pd.Timedelta(minutes=30)).fillna(True)
+            g = g.assign(sid=brk.cumsum())
+            out = (
+                g.groupby("sid")
+                .agg(user_id=("user_id", "first"), session_start=("ts", "min"),
+                     n_events=("event_id", "size"))
+                .reset_index(drop=True)
+            )
+            return out
+
+        out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+        return out.map_batches(
+            lambda df: df.assign(n_events=df["n_events"].astype("int64")),
+            batch_format="pandas",
+        )
+
+    q(
+        "events_sessionized",
+        events_sessionized,
+        """WITH o AS (
+               SELECT user_id, event_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ), s AS (
+               SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS sid
+               FROM o
+           )
+           SELECT user_id, min(ts) AS session_start,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM s GROUP BY user_id, sid""",
+    )
+
+    def order_lineitem_join(sf_dir):
+        """Bucketed large-large hash join (functions.joins) + aggregate:
+        revenue per order priority."""
+        from ..functions.joins import bucketed_inner_join
+
+        li = read_table(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "revenue": pc.multiply(
+                        t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                    ),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+        joined = bucketed_inner_join(
+            li, orders, "o_orderkey", ["revenue"], ["o_orderpriority"],
+            num_buckets=16,
+        )
+        out = partial_groupby(
+            joined, ["o_orderpriority"],
+            {"n_items": (None, "count"), "revenue": ("revenue", "sum")},
+        )
+        return out.assign(
+            n_items=out["n_items"].astype("int64"), revenue=out["revenue"].round(2)
+        )
+
+    q(
+        "order_lineitem_join",
+        order_lineitem_join,
+        """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1""",
+    )
+
+    def distinct_users_per_type(sf_dir):
+        """COUNT(DISTINCT ...) as two partial groupbys: distinct pairs then
+        count — no global distinct shuffle."""
+        ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+        pairs = partial_groupby(
+            ds, ["event_type", "user_id"], {"n": (None, "count")}
+        )
+        out = (
+            pairs.groupby("event_type", sort=True)
+            .agg(n_users=("user_id", "size"))
+            .reset_index()
+        )
+        return out.assign(n_users=out["n_users"].astype("int64"))
+
+    q(
+        "distinct_users_per_type",
+        distinct_users_per_type,
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1""",
+    )
+
+    def t_session_sink_counts(sf_dir):
+        """Session-epoch pipeline: sinks are {conv_id}.{session} (reference
+        DataPumpDecoderSort.java:93-97; session epochs README.md:177-180)."""
+        path = ensure_sessions_corpus(sf_dir)
+        ds = read_transcripts(path)
+        ds = add_sink_and_bucket(ds, num_buckets=16)
+        ds = apply_parse(ds)
+        ds = apply_reassemble(ds)
+        routed = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "routed")).select(
+                ["sink", "counter"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return partial_groupby(
+            routed, ["sink"],
+            {"n_rows": (None, "count"), "max_counter": ("counter", "max")},
+        )
+
+    q(
+        "t_session_sink_counts",
+        t_session_sink_counts,
+        f"""SELECT conv_id || '.' || CAST(session AS VARCHAR) AS sink,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(max(turn_idx) AS BIGINT) AS max_counter
+            FROM read_parquet('{sessions_glob}') GROUP BY 1""",
+    )
 
     # ---------------- similarity search: embeddings -----------------------
 

@@ -132,3 +132,24 @@ def test_multimodal_plumbing():
     frames = multimodal.sample_frames(ds, frames_per_video=3).to_pandas()
     n_videos = (media["modality"].to_pandas() == "video").sum()
     assert len(frames) == 3 * n_videos
+
+
+def test_bucketed_inner_join_matches_pandas():
+    from log_aggregator_ray.functions.joins import bucketed_inner_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "x": rng.random(300)})
+    right = pd.DataFrame({"k": np.arange(40), "y": np.arange(40) * 10})
+    got = (
+        bucketed_inner_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", ["x"], ["y"],
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    # nulls introduced by the union schema widen int columns to float —
+    # values must match exactly, dtypes may differ
+    pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
