@@ -113,3 +113,31 @@ def lsh_topk(ds, query_vec, k: int = 10, nbits: int = 8, col: str = "embedding",
 
     pruned = ds.map_batches(filter_buckets, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(pruned, q, k=k, col=col, id_col=id_col)
+
+
+def embedding_near_dup(ds, threshold: float = 0.45, block_col: str = "label",
+                       col: str = "embedding", id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``.
+
+    Within each block: one normalized matmul (m @ m.T) and a threshold —
+    vectorized, no per-pair Python.  Blocking keeps the pair space
+    tractable (the LSH bucketing in ``HyperplaneLSH`` is the blocking
+    strategy when no natural key exists).  Output: (id_a, id_b, cos_sim)
+    with id_a < id_b.
+    """
+    import pandas as pd
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(g[col].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ m.T
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(cos[ia, ib][keep], 6)}
+        )
+
+    return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")

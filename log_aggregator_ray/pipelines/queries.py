@@ -752,4 +752,25 @@ def build_catalog():
 
     q("ann_lsh_topk", ann_lsh_topk)  # approximate — rows-only check
 
+    def embedding_near_dups(sf_dir):
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        out = ann.embedding_near_dup(ds, threshold=0.45, block_col="label")
+        return out.map_batches(
+            lambda df: df.assign(
+                id_a=df["id_a"].astype("int64"), id_b=df["id_b"].astype("int64")
+            ),
+            batch_format="pandas",
+        )
+
+    q(
+        "embedding_near_dups",
+        embedding_near_dups,
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 6) AS cos_sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    )
+
     return queries, oracles
