@@ -205,20 +205,39 @@ def generate_transcripts(
         _dict_str(tool_idx, _TOOL_LUT),
         pa.array(ts_us, pa.timestamp("us")),
     ]
+    session = None
     if with_session:
+        # session epochs (reference W4: agent restart ⇒ new session ⇒ new
+        # sink file, turn_idx restarts at 1 — README.md:177-180).  ~10% of
+        # convs (size ≥ 6) split mid-stream into a second session one hour
+        # later.
+        base_sess = _BASE_EPOCH_US // 1_000_000
+        split_at = np.zeros(n_convs, dtype=np.int64)
+        eligible = np.flatnonzero(sizes >= 6)
+        n_split = max(1, len(eligible) // 10)
+        chosen = rng.choice(eligible, size=min(n_split, len(eligible)), replace=False)
+        split_at[chosen] = sizes[chosen] // 2
+        row_split = split_at[conv_ord]
+        second = (row_split > 0) & (turn_idx.astype(np.int64) > row_split)
+        session = np.where(second, base_sess + 3600, base_sess)
+        turn_idx = np.where(
+            second, turn_idx.astype(np.int64) - row_split, turn_idx
+        ).astype(np.int32)
+        arrays[1] = pa.array(turn_idx, pa.int32())
+        # rebuild counter suffix of text to keep counter == turn_idx
+        comps[-1] = pc.cast(pa.array(turn_idx.astype(np.int64)), pa.string())
+        arrays[3] = pc.binary_join_element_wise(*comps, "")
         fields = fields + [pa.field("session", pa.int64())]
-        arrays.append(
-            pa.array(np.full(n, _BASE_EPOCH_US // 1_000_000, dtype=np.int64))
-        )
+        arrays.append(pa.array(session, pa.int64()))
     table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
     gt = None
     if compute_gt:
-        text = text_pa.to_numpy(zero_copy_only=False)
+        text = arrays[3].to_numpy(zero_copy_only=False)  # post-session rebuild
         if with_session:
             sink = np.char.add(
                 np.char.add(conv_id.astype("U20"), "."),
-                np.full(n, str(_BASE_EPOCH_US // 1_000_000)),
+                session.astype("U12"),
             ).astype(object)
         else:
             sink = conv_id

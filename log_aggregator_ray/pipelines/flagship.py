@@ -226,8 +226,8 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
     if enrich_concurrency is None:
         enrich_concurrency = "task"
     os.makedirs(out_dir, exist_ok=True)
-    mf.init_run(out_dir, num_buckets, input_path)
-    committed = mf.committed_buckets(out_dir) if resume else set()
+    reusable = mf.init_run(out_dir, num_buckets, input_path)
+    committed = mf.committed_buckets(out_dir) if (resume and reusable) else set()
 
     ds = read_transcripts(input_path)
     ds = add_sink_and_bucket(ds, num_buckets=num_buckets)

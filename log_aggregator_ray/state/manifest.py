@@ -38,10 +38,35 @@ def atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
-def init_run(out_dir: str, num_buckets: int, input_path: str) -> None:
-    """Record run-level invariants; a resume with different bucketing is an
-    error (partition identity would change)."""
+def input_fingerprint(input_path: str) -> str:
+    """Cheap content identity of the input: sorted (name, size, mtime_ns) of
+    the parquet parts.  Bucket contents depend on the WHOLE input (any new
+    file adds rows to every bucket), so a committed bucket is only valid for
+    the exact input it was built from — the reference has the same property
+    (lastSeq is only meaningful for the stream it tracked,
+    SequenceTracker.java:105-113)."""
+    import hashlib
+
+    entries = []
+    if os.path.isdir(input_path):
+        for name in sorted(os.listdir(input_path)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(input_path, name))
+                entries.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+    else:
+        st = os.stat(input_path)
+        entries.append(f"{os.path.basename(input_path)}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.blake2b("\n".join(entries).encode(), digest_size=12).hexdigest()
+
+
+def init_run(out_dir: str, num_buckets: int, input_path: str) -> bool:
+    """Record run-level invariants.  Returns True when committed buckets may
+    be reused (same bucketing AND same input fingerprint).  A resume with
+    different bucketing is an error (partition identity would change); a
+    changed input invalidates all prior bucket manifests (they are removed)
+    since every bucket's contents depend on the whole input."""
     path = os.path.join(_manifest_dir(out_dir), RUN_FILE)
+    fp = input_fingerprint(input_path)
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
@@ -50,8 +75,23 @@ def init_run(out_dir: str, num_buckets: int, input_path: str) -> None:
                 f"resume with num_buckets={num_buckets} but run was started "
                 f"with {prev['num_buckets']} — bucket identity would change"
             )
-        return
-    atomic_write_json(path, {"num_buckets": num_buckets, "input_path": input_path})
+        if prev.get("input_fingerprint") == fp:
+            return True
+        # input changed: prior bucket commits are stale — drop them
+        d = _manifest_dir(out_dir)
+        for name in os.listdir(d):
+            if name.startswith("bucket="):
+                os.remove(os.path.join(d, name))
+        atomic_write_json(
+            path, {"num_buckets": num_buckets, "input_path": input_path,
+                   "input_fingerprint": fp},
+        )
+        return False
+    atomic_write_json(
+        path, {"num_buckets": num_buckets, "input_path": input_path,
+               "input_fingerprint": fp},
+    )
+    return True
 
 
 def commit_bucket(out_dir: str, bucket: int, payload: dict) -> None:

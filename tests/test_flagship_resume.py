@@ -100,3 +100,33 @@ def test_resume_bucket_mismatch_rejected(corpus, tmp_path):
     flagship.run_flagship(path, out, num_buckets=8)
     with pytest.raises(ValueError, match="num_buckets"):
         flagship.run_flagship(path, out, num_buckets=16)
+
+
+def test_resume_invalidated_by_changed_input(corpus, tmp_path):
+    """Appending input data must invalidate prior bucket commits — a
+    committed bucket is only valid for the exact input it was built from."""
+    import glob
+    import time as _time
+
+    import pyarrow.parquet as pq2
+
+    path, t, gt = corpus
+    # build a DIRECTORY corpus we can mutate
+    import shutil
+
+    d = str(tmp_path / "mut_corpus")
+    os.makedirs(d)
+    shutil.copy(path, os.path.join(d, "part-0.parquet"))
+    out = str(tmp_path / "outm")
+    flagship.run_flagship(d, out, num_buckets=8)
+    n1 = flagship.read_sink_counts(out)["n_rows"].sum()
+
+    # append a new file with one more conversation
+    extra, _ = gen.generate_transcripts(n_convs=3, seed=123)
+    _time.sleep(0.01)
+    pq2.write_table(extra, os.path.join(d, "part-1.parquet"))
+
+    report = flagship.run_flagship(d, out, num_buckets=8)
+    assert report["buckets_skipped"] == 0  # stale commits dropped
+    n2 = flagship.read_sink_counts(out)["n_rows"].sum()
+    assert n2 > n1
