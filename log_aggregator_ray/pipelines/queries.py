@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..fixtures import generator as gen
 from ..functions import ann, dedup, dicts, textstats
