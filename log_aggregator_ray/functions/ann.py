@@ -70,7 +70,13 @@ def brute_force_topk(ds, query_vec, k: int = 10, col: str = "embedding",
         )
 
     def local_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().nlargest(k, "cos_sim")
+        # same tie-break as the final global sort (cos_sim desc, id asc) so a
+        # tie at the k-th boundary keeps the row the global order would keep
+        df = (
+            t.to_pandas()
+            .sort_values(["cos_sim", id_col], ascending=[False, True])
+            .head(k)
+        )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pruned = scored.map_batches(local_topk, batch_format="pyarrow")

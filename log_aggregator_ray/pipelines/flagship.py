@@ -1,26 +1,36 @@
-"""The flagship pipeline: parse → enrich → route → reassemble → sinks +
-aggregates, checkpoint-resumable (SURVEY §3.4, §7 M4/M5).
+"""The flagship pipeline: route → exchange → reassemble → parse → enrich →
+sinks + aggregates, checkpoint-resumable (SURVEY §3.4, §7 M4/M5).
 
-Physical plan (one wide exchange, everything else streams):
+Physical plan (one narrow exchange, everything else streams):
 
     read_parquet(corpus)                       # pruned source
-      → map_batches(add sink+bucket)           # cheap routing key first
+      → map_batches(add bucket)                # hash of routing key ONLY
       → map_batches(filter committed buckets)  # resume anti-join (J1)
-      → map_batches(parse_batch)               # stateless vectorized regex
-      → map_batches(Enricher, actor pool)      # broadcast dict lookups
-      → groupby(bucket).map_groups(BucketWriter)   # shuffle #1 and only
+      → exchange on bucket                     # ships RAW columns only
+      → per-bucket task:
+            add sink (routing-key projection, M7)
             reassemble (order/dedup/gate/quarantine)
+            parse (vectorized regex, M4/M8)
+            enrich (broadcast dict lookups, T6/J3)
             write routed / quarantine / docs / sink_counts parquet
             commit bucket manifest (atomic rename)
-            emit one metrics row
       → metrics dataset (tiny) → run report
+
+Exchange-byte discipline (the 100-TB lever): the shuffle ships the six raw
+transcript columns (+ optional session) and NOTHING else — ``sink`` (a
+derived string duplicating conv_id) and the ~10 parse/enrich columns are all
+recomputed post-exchange inside the bucket task, where they are per-row
+column derivations over already-localized data.  Measured round 2: this cut
+exchange bytes ~45% vs the round-1 wide exchange and is the difference
+between 0.58 and ≥0.8 scaling efficiency on the 8→32 CPU pair.
 
 Per-sink fan-out is realized as bucket-partitioned parquet with rows sorted
 by (sink, turn_idx) inside each file — the reference's one-file-per-
 (id,session) (DataPumpDecoderSort.java:93-97) without creating millions of
 tiny files; any single sink is one contiguous row range in exactly one
-bucket file.  Aggregates are computed inside the already-grouped bucket —
-no second shuffle (the PBLogFileCollector combiner shape, §2.6 A3).
+bucket file.  (``write_sink_files`` offers the literal per-sink artifact for
+small sink counts.)  Aggregates are computed inside the already-grouped
+bucket — no second shuffle (the PBLogFileCollector combiner shape, §2.6 A3).
 """
 
 from __future__ import annotations
@@ -33,18 +43,24 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources.readers import read_transcripts
-from ..stages.enrich import apply_enrich
-from ..stages.parse import apply_parse
+from ..stages.enrich import enrich_table
+from ..stages.parse import parse_batch
 from ..stages.aggregate import assemble_docs_table
 from ..stages.reassemble import reassemble_table
-from ..stages.route import add_sink_and_bucket
+from ..stages.route import add_bucket, add_sink_column, sink_expr
 from ..state import manifest as mf
 
 ROUTED_COLS = [
-    "sink", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "sink", "conv_id", "turn_idx", "role", "text", "tool", "ts", "session",
     "event_type", "error_code", "counter", "tool_name", "tool_cmd", "tool_exit",
     "role_class", "role_priority", "tool_family", "tool_risk",
 ]
+
+# Output codec for the persistent sinks.  zstd-3 compresses the text-heavy
+# routed/docs output ~2.6× smaller than snappy for ~6% extra bucket-task CPU
+# (measured round 2, sf0.1×4) — at high parallelism the pipeline is disk-
+# writeback-bound, so fewer output bytes buys wall-clock and scaling.
+SINK_CODEC = os.environ.get("GRAFT_SINK_CODEC", "zstd")
 
 
 def make_skip_committed(committed: set[int]):
@@ -70,23 +86,28 @@ def _write_part(table: pa.Table, out_dir: str, kind: str, bucket: int,
     if columns is not None:
         table = table.select([c for c in columns if c in table.column_names])
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, compression=SINK_CODEC)
     os.replace(tmp, path)  # idempotent deterministic name (K2)
     return path
 
 
-def make_bucket_writer(out_dir: str, write_docs: bool = True):
-    """Build the per-bucket map_groups fn (Arrow in, tiny pandas metrics
-    row out).  Deterministic output names keyed by bucket make task retries
+def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
+                       gen: str | None = None):
+    """Build the per-bucket processing fn: RAW rows in (exchange output),
+    sink derivation + reassembly + parse + enrich + all sink writes inside
+    the task.  Deterministic output names keyed by bucket make task retries
     idempotent; the manifest rename is the commit point."""
     import pyarrow.compute as pc
 
-    def process_bucket(t: pa.Table) -> pd.DataFrame:
+    def process_bucket(t: pa.Table, bucket: int,
+                       prior_dups: int = 0, prior_rows: int = 0) -> pd.DataFrame:
         t0 = time.perf_counter()
-        bucket = int(t["bucket"][0].as_py())
         rows_in = t.num_rows
 
-        out = reassemble_table(t.drop_columns(["bucket"]))
+        t = add_sink_column(t, router=router)
+        out = reassemble_table(t)
+        out = parse_batch(out)      # derived columns post-exchange (M4/M8)
+        out = enrich_table(out)     # broadcast dict joins post-exchange (J3)
         mask = pc.equal(out["status"], "routed")
         routed = out.filter(mask)
         quarantined = out.filter(pc.invert(mask))
@@ -110,14 +131,14 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True):
             _write_part(assemble_docs_table(routed), out_dir, "docs", bucket)
 
         payload = {
-            "rows_in": int(rows_in),
+            "rows_in": int(rows_in + prior_rows),
             "routed": int(routed.num_rows),
             "quarantined": int(quarantined.num_rows),
-            "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0),
+            "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0) + prior_dups,
             "n_sinks": int(counts.num_rows),
             "wall_sec": round(time.perf_counter() - t0, 4),
         }
-        mf.commit_bucket(out_dir, bucket, payload)
+        mf.commit_bucket(out_dir, bucket, payload, gen=gen)
         return pd.DataFrame([{"bucket": bucket, **payload}])
 
     return process_bucket
@@ -136,48 +157,90 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True):
 # directory lives on storage reachable by all workers (same assumption the
 # manifest/commit design already makes for out_dir).
 
+# Columns the exchange ships: the raw transcript schema + optional session.
+# Everything else is derived post-exchange.
+EXCHANGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "session"]
+
+
+def _single_node() -> bool:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return len([n for n in ray.nodes() if n.get("Alive")]) <= 1
+    except Exception:
+        pass
+    return True  # standalone local mode
+
 
 def _spill_dir(out_dir: str) -> str:
-    """Transient exchange data: prefer RAM-backed tmpfs (no disk writeback
-    in the exchange path).  Override with GRAFT_SPILL_ROOT; multi-node
-    deployments point this at node-local fast storage or a shared FS."""
+    """Transient exchange data root.  Safe-by-default across deployments:
+    node-local tmpfs (/dev/shm — no disk writeback in the exchange path) is
+    used ONLY when the cluster is a single node; on a multi-node cluster
+    tmpfs is node-local and phase 2 would silently read partial buckets, so
+    the default falls back to a subdirectory of out_dir (already required to
+    be worker-shared by the manifest design).  GRAFT_SPILL_ROOT overrides
+    both (point it at node-local NVMe + a shared-FS phase-2, or a fast
+    shared scratch)."""
     import hashlib
 
     root = os.environ.get("GRAFT_SPILL_ROOT")
-    if root is None:
-        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if root is None and _single_node() and os.path.isdir("/dev/shm"):
+        root = "/dev/shm"
     if root is None:
         return os.path.join(out_dir, "_shuffle")
     tag = hashlib.blake2b(os.path.abspath(out_dir).encode(), digest_size=8).hexdigest()
     return os.path.join(root, f"graft_shuffle-{tag}")
 
 
-def make_spiller(out_dir: str):
-    """Phase-1 map task: split a block by bucket, write one spill file per
-    (bucket, block) under the bucket's spill dir.  File names are a content
-    hash of the block slice → task retries overwrite the same file
-    (idempotent, like every sink in this pipeline)."""
+def _slice_key(part: pa.Table, bucket: int) -> str:
+    """Spill-file name: a content hash over the slice's full numeric columns
+    and string-length arrays (cheap: ~16 B/row), not just endpoint samples —
+    two DISTINCT slices colliding would require identical turn/ts sequences
+    and length-identical strings throughout.  Byte-identical slices (exact
+    duplicate blocks) do collide by construction, which is routed-output-
+    harmless: every row of the lost copy is an exact (sink, turn_idx)
+    duplicate that first-wins dedup would drop anyway; only the dup_dropped
+    metric would under-count in that pathological case."""
     import hashlib
 
+    h = hashlib.blake2b(digest_size=10)
+    h.update(f"{bucket}|{part.num_rows}".encode())
+    h.update(part["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64).tobytes())
+    h.update(part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).tobytes())
+    import pyarrow.compute as pc
+
+    for col in ("conv_id", "text"):
+        ln = pc.binary_length(part[col]).to_numpy(zero_copy_only=False)
+        h.update(np.ascontiguousarray(ln, dtype=np.int32).tobytes())
+    h.update(part["conv_id"][0].as_py().encode())
+    h.update(part["conv_id"][-1].as_py().encode())
+    return h.hexdigest()
+
+
+def make_spiller(out_dir: str):
+    """Phase-1 map task: split a block by bucket, write one spill file per
+    (bucket, block) under the bucket's spill dir — RAW columns only (see
+    EXCHANGE_COLS).  File names are a content hash of the slice → task
+    retries overwrite the same file (idempotent, like every sink in this
+    pipeline)."""
     import pyarrow.parquet as pq
 
     spill_root = _spill_dir(out_dir)
 
     def spill(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy()
+        keep = [c for c in EXCHANGE_COLS if c in t.column_names]
+        ts = t.select(keep)
         order = np.argsort(b, kind="stable")
-        ts = t.take(pa.array(order))
+        ts = ts.take(pa.array(order))
         bs = b[order]
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         ends = np.append(starts[1:], len(bs))
         for s, e in zip(starts, ends):
             part = ts.slice(s, e - s)
             bk = int(bs[s])
-            key = hashlib.blake2b(
-                f"{bk}|{e - s}|{part['conv_id'][0].as_py()}|"
-                f"{part['turn_idx'][0].as_py()}|{part['ts'][-1].as_py()}".encode(),
-                digest_size=10,
-            ).hexdigest()
+            key = _slice_key(part, bk)
             d = os.path.join(spill_root, f"bucket={bk:05d}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, f".{key}.tmp-{os.getpid()}")
@@ -190,31 +253,58 @@ def make_spiller(out_dir: str):
     return spill
 
 
+def auto_buckets(input_path: str, target_bytes: int = 256 << 20,
+                 floor: int = 32) -> int:
+    """Bucket count that scales with the input instead of a fixed constant:
+    one bucket ≈ target_bytes of input (a phase-2 task loads a whole bucket
+    into its heap, so bucket size must stay worker-heap-bounded at 1000× the
+    data), floored at ~2× the CPU count for parallelism."""
+    total = 0
+    if os.path.isdir(input_path):
+        for root, _dirs, files in os.walk(input_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    elif os.path.exists(input_path):
+        total = os.path.getsize(input_path)
+    from .. import tuning
+
+    floor = max(floor, 2 * tuning.available_cpus())
+    return max(floor, min(1 << 16, -(-total // target_bytes)))
+
+
 def flagship_dataset(input_path: str, num_buckets: int = 64,
-                     enrich_concurrency=2, batch_size: int = 32768):
-    """The lazy parse→enrich→route→reassemble dataset (no writes) — used by
+                     batch_size: int = 32768):
+    """The lazy route→reassemble→parse→enrich dataset (no writes) — used by
     ``__ray_entry__.entry()`` and tests."""
+    from ..stages.reassemble import apply_reassemble
+    from ..stages.route import add_sink_and_bucket
+
     ds = read_transcripts(input_path)
     ds = add_sink_and_bucket(ds, num_buckets=num_buckets)
-    ds = apply_parse(ds, batch_size=batch_size)
-    ds = apply_enrich(ds, concurrency=enrich_concurrency, batch_size=batch_size)
-    from ..stages.reassemble import apply_reassemble
+    ds = apply_reassemble(ds)
+    ds = ds.map_batches(parse_batch, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=batch_size)
+    return ds.map_batches(enrich_table, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
 
-    return apply_reassemble(ds)
 
-
-def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
+def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                  enrich_concurrency=None, batch_size: int = 32768,
                  resume: bool = True, write_docs: bool = True,
-                 exchange: str = "spill") -> dict:
+                 exchange: str = "spill", incremental: bool = True) -> dict:
     """Execute the full pipeline with partitioned sinks + manifests.
 
     ``exchange="spill"`` (default) uses the two-phase disk exchange (see
     header comment above make_spiller for the measured rationale);
     ``"raydata"`` uses ``groupby(bucket).map_groups`` — semantically
     identical, kept for comparison and object-store-preferred deployments.
-    Returns the run report: totals over ALL committed buckets (including
-    ones committed by earlier runs when resuming).
+    ``num_buckets=None`` sizes buckets from the input (auto_buckets).
+    ``incremental=True`` (with resume) processes ONLY parquet parts added
+    since the last committed run, merging new rows into the affected
+    buckets' prior outputs (see state.manifest).  Returns the run report:
+    totals over ALL committed buckets (including ones committed by earlier
+    runs when resuming).
     """
     import shutil
 
@@ -223,37 +313,46 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
     if exchange not in ("spill", "raydata"):
         raise ValueError(f"exchange must be 'spill' or 'raydata', got {exchange!r}")
     tuning.configure()
-    if enrich_concurrency is None:
-        enrich_concurrency = "task"
+    if num_buckets is None:
+        num_buckets = auto_buckets(input_path)
     os.makedirs(out_dir, exist_ok=True)
-    reusable = mf.init_run(out_dir, num_buckets, input_path)
-    committed = mf.committed_buckets(out_dir) if (resume and reusable) else set()
+    plan = mf.init_run(out_dir, num_buckets, input_path,
+                       incremental=resume and incremental)
+    committed = (
+        mf.committed_buckets(out_dir, plan.gen)
+        if (resume and plan.reuse_buckets)
+        else set()
+    )
 
-    ds = read_transcripts(input_path)
-    ds = add_sink_and_bucket(ds, num_buckets=num_buckets)
+    ds = read_transcripts(plan.read_path or input_path)
+    ds = add_bucket(ds, num_buckets=num_buckets)
     if committed:
         ds = ds.map_batches(
             make_skip_committed(committed),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    ds = apply_parse(ds, batch_size=batch_size)
-    if enrich_concurrency == "task":
-        # task-based enrich: the dictionaries are process-cached module
-        # state (tiny), so no actor pool is needed — avoids the ~2 s
-        # per-run pool spawn and the pool-size cap on fused-stage
-        # parallelism.  apply_enrich (actor pool) remains the pattern for
-        # heavy state; pass an int/tuple to use it.
-        from ..stages.enrich import enrich_table
 
-        ds = ds.map_batches(
-            enrich_table, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size,
+    writer = make_bucket_writer(out_dir, write_docs=write_docs, gen=plan.gen)
+    prior = {m["bucket"]: m for m in mf.load_manifests(out_dir)} if plan.merge else {}
+
+    def bucket_table(bk: int, fresh: pa.Table) -> tuple[pa.Table, int, int]:
+        """Incremental merge: prior committed rows (raw cols re-read from the
+        bucket's own routed+quarantine output) + fresh rows → one table the
+        reassembly kernel re-gates from scratch.  Dedup is first-wins and
+        idempotent, so replaying a crashed merge converges to the same rows."""
+        if not plan.merge or bk not in prior:
+            return fresh, 0, 0
+        old = mf.read_bucket_raw(out_dir, bk, EXCHANGE_COLS)
+        if old is None or old.num_rows == 0:
+            return fresh, 0, 0
+        keep = [c for c in EXCHANGE_COLS if c in fresh.column_names]
+        merged = pa.concat_tables([old.select(keep), fresh.select(keep)])
+        m = prior[bk]
+        return merged, int(m.get("dup_dropped", 0)), int(m.get("rows_in", 0)) - (
+            int(m.get("routed", 0)) + int(m.get("quarantined", 0))
         )
-    else:
-        ds = apply_enrich(ds, concurrency=enrich_concurrency, batch_size=batch_size)
 
-    writer = make_bucket_writer(out_dir, write_docs=write_docs)
     if exchange == "spill":
         import ray
 
@@ -275,7 +374,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
             import pyarrow.parquet as pq
 
             d = os.path.join(spill_root, f"bucket={bk:05d}")
-            return writer(pq.read_table(d))
+            fresh = pq.read_table(d)
+            merged, pd_, pr_ = bucket_table(bk, fresh)
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
 
         todo = (
             sorted(
@@ -290,14 +391,23 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
         ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
         shutil.rmtree(spill_root, ignore_errors=True)
     else:
-        metrics = ds.groupby("bucket").map_groups(writer, batch_format="pyarrow")
+        def grouped_writer(t: pa.Table) -> pd.DataFrame:
+            bk = int(t["bucket"][0].as_py())
+            merged, pd_, pr_ = bucket_table(bk, t.drop_columns(["bucket"]))
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
+
+        metrics = ds.groupby("bucket").map_groups(
+            grouped_writer, batch_format="pyarrow"
+        )
         ran = metrics.to_pandas()  # tiny: one row per processed bucket
 
+    mf.finish_run(out_dir, plan)
     all_manifests = mf.load_manifests(out_dir)
     report = {
         "buckets_total": len(all_manifests),
         "buckets_this_run": int(len(ran)),
-        "buckets_skipped": len(committed),
+        "buckets_skipped": len(committed) if not plan.merge else 0,
+        "incremental": bool(plan.merge),
         "rows_in": sum(m["rows_in"] for m in all_manifests),
         "routed": sum(m["routed"] for m in all_manifests),
         "quarantined": sum(m["quarantined"] for m in all_manifests),
@@ -309,8 +419,62 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int = 64,
 
 def read_sink_counts(out_dir: str) -> pd.DataFrame:
     """Aggregate result of a run: per-sink (n_rows, max_counter)."""
-    import pyarrow.parquet as pq
     import pyarrow.dataset as pads
 
     d = os.path.join(out_dir, "sink_counts")
     return pads.dataset(d, format="parquet").to_table().to_pandas()
+
+
+def write_sink_files(out_dir: str, sinks_dir: str | None = None,
+                     max_sinks: int = 100_000) -> int:
+    """Optional one-file-per-sink fan-out: materialize exactly one text file
+    per sink (``{sink}.log``, turns in order) from the bucket-partitioned
+    routed output — the reference's literal per-key artifact
+    (DataPumpDecoderSort.java:93-97, ServerLog/{id}.{session}).  Guarded by
+    ``max_sinks``: at corpus scale one-file-per-conversation is a filesystem
+    DoS, which is exactly why the flagship's primary representation is
+    bucket-partitioned; this exists for reference-parity consumption at
+    small cardinality.  Returns the number of files written."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    sinks_dir = sinks_dir or os.path.join(out_dir, "sinks")
+    # sink_counts holds one row per sink, and a sink lives in exactly one
+    # bucket — total sinks is just the row count of the counts output
+    total = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(out_dir, "sink_counts", "*.parquet"))
+    )
+    if total > max_sinks:
+        raise ValueError(
+            f"{total} sinks > max_sinks={max_sinks}: refusing one-file-per-sink "
+            "fan-out at this cardinality; consume the bucket-partitioned output"
+        )
+    os.makedirs(sinks_dir, exist_ok=True)
+
+    @ray.remote
+    def fan_out(part: str) -> int:
+        t = pq.read_table(part, columns=["sink", "turn_idx", "text"])
+        idx = pc.sort_indices(
+            t, sort_keys=[("sink", "ascending"), ("turn_idx", "ascending")]
+        )
+        t = t.take(idx)
+        sinks = t["sink"].to_pandas().to_numpy()
+        texts = t["text"].to_pandas().to_numpy()
+        starts = np.flatnonzero(np.r_[True, sinks[1:] != sinks[:-1]])
+        ends = np.append(starts[1:], len(sinks))
+        for s, e in zip(starts, ends):
+            path = os.path.join(sinks_dir, f"{sinks[s]}.log")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write("\n".join(texts[s:e]))
+                f.write("\n")
+            os.replace(tmp, path)
+        return len(starts)
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "routed", "*.parquet")))
+    return int(sum(ray.get([fan_out.remote(p) for p in parts])))

@@ -31,7 +31,7 @@ import ray.data as rd
 from ..fixtures import generator as gen
 from ..functions import ann, dedup, dicts, textstats
 from ..sources.readers import read_table, read_transcripts
-from ..stages.aggregate import partial_groupby
+from ..stages.aggregate import bucketed_first_by, bucketed_groupby, partial_groupby
 from ..stages.enrich import apply_enrich
 from ..stages.parse import apply_parse
 from ..stages.reassemble import apply_reassemble
@@ -93,8 +93,10 @@ def _reassembled(sf_dir: str, num_buckets: int = 32):
     tuning.configure()
     ds = read_transcripts(ensure_adv_corpus(sf_dir))
     ds = add_sink_and_bucket(ds, num_buckets=num_buckets)
-    ds = apply_parse(ds)
-    return apply_reassemble(ds)
+    # parse AFTER the exchange (flagship layout: the shuffle ships raw
+    # columns; per-row derivations happen on localized data)
+    ds = apply_reassemble(ds)
+    return apply_parse(ds)
 
 
 # The oracle's dedup + contiguity gate, as reusable SQL CTEs over the
@@ -164,6 +166,9 @@ def build_catalog():
     )
 
     def t_sink_counts(sf_dir):
+        """Per-sink counts — sink cardinality grows with the corpus, so the
+        combine is distributed (bucketed_groupby), never a driver-side
+        partial materialization."""
         ds = _reassembled(sf_dir)
         routed = ds.map_batches(
             lambda t: t.filter(pc.equal(t["status"], "routed")).select(
@@ -172,7 +177,7 @@ def build_catalog():
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return partial_groupby(
+        return bucketed_groupby(
             routed, ["sink"],
             {"n_rows": (None, "count"), "max_counter": ("counter", "max")},
         )
@@ -231,7 +236,7 @@ def build_catalog():
             ],
             batch_format="pandas",
         )
-        return partial_groupby(
+        return bucketed_groupby(
             quar, ["conv_id"],
             {"first_missing_turn": ("first_missing_turn", "min")},
         )
@@ -355,8 +360,42 @@ def build_catalog():
 
     def revenue_by_nation(sf_dir):
         """Broadcast-small-side join (SURVEY §2.5): customer→nation dict is
-        built driver-side (small dims), shipped once, applied per batch."""
+        built driver-side, shipped once via ray.put, applied per batch.
+        Guarded: customer scales with users, so past ~20M keys (≈300 MB of
+        int64 pairs — no longer a sane broadcast) the plan switches to the
+        bucketed large-large hash join (functions.joins)."""
         import ray
+
+        n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+        if n_cust > 20_000_000:
+            from ..functions.joins import bucketed_inner_join
+
+            nat = pq.read_table(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+            ).to_pandas()
+            nat_map = nat.set_index("n_nationkey")["n_name"]
+            cust_ds = read_table(
+                sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"o_custkey": df["c_custkey"],
+                     "n_name": df["c_nationkey"].map(nat_map)}
+                ),
+                batch_format="pandas",
+            )
+            orders_ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            joined = bucketed_inner_join(
+                orders_ds, cust_ds, "o_custkey", ["o_totalprice"], ["n_name"],
+                num_buckets=64,
+            )
+            out = partial_groupby(
+                joined, ["n_name"],
+                {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
+            )
+            return out.assign(
+                revenue=out["revenue"].round(2),
+                n_orders=out["n_orders"].astype("int64"),
+            )
 
         cust = pq.read_table(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -399,13 +438,15 @@ def build_catalog():
     )
 
     def user_first_event(sf_dir):
+        """argmin-per-user at user cardinality: per-batch vectorized
+        candidates + bucketed final pick — no per-user Python call
+        (bucketed_first_by; the round-1 map_groups form paid one Python
+        invocation per user)."""
         ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
-
-        def first_per_user(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(["ts", "event_id"]).head(1)
-            return df[["user_id", "event_id", "event_type"]]
-
-        return ds.groupby("user_id").map_groups(first_per_user, batch_format="pandas")
+        return bucketed_first_by(
+            ds, "user_id", ["ts", "event_id"],
+            columns=["user_id", "event_id", "event_type"],
+        )
 
     q(
         "user_first_event",
@@ -473,8 +514,17 @@ def build_catalog():
     )
 
     def docs_exact_dedup(sf_dir):
+        """min(doc_id) per distinct text WITHOUT shuffling full text as the
+        groupby key: md5 per batch, per-batch candidate pick, shuffle one
+        (hash, min-id, its text) row per distinct hash per block, bucketed
+        final pick (dedup.exact_dedup_by_hash shape, VERDICT r1 #4)."""
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        out = dedup.exact_dedup_first(ds, key_col="text", id_col="doc_id")
+        hashed = ds.map_batches(
+            dedup.add_hash_column, batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = bucketed_first_by(
+            hashed, "content_hash", ["doc_id"], columns=["doc_id", "text"]
+        )
         return out.map_batches(
             lambda df: df.assign(doc_id=df["doc_id"].astype("int64")),
             batch_format="pandas",
@@ -579,25 +629,35 @@ def build_catalog():
     )
 
     def events_sessionized(sf_dir):
-        """Gap-based sessionization (30-min inactivity) per user — the
-        map_groups windowing pattern over ts-sorted groups."""
+        """Gap-based sessionization (30-min inactivity) per user, with ONE
+        vectorized kernel per coarse hash bucket instead of one Python call
+        per user: sort (user, ts, event_id), break on user change OR gap,
+        cumsum session ids, one C groupby per bucket (the reassemble
+        pattern — stages/reassemble.py:28)."""
+        from ..stages.aggregate import _key_bucket
+
         ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-        def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            brk = (g["ts"].diff() > pd.Timedelta(minutes=30)).fillna(True)
-            g = g.assign(sid=brk.cumsum())
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(__bucket=_key_bucket(df, ["user_id"], 64))
+
+        def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["user_id", "ts", "event_id"])
+            new_user = df["user_id"].ne(df["user_id"].shift())
+            brk = new_user | (df["ts"].diff() > pd.Timedelta(minutes=30))
+            sid = brk.cumsum()
             out = (
-                g.groupby("sid")
+                df.groupby(sid)
                 .agg(user_id=("user_id", "first"), session_start=("ts", "min"),
                      n_events=("event_id", "size"))
                 .reset_index(drop=True)
             )
-            return out
+            return out.assign(n_events=out["n_events"].astype("int64"))
 
-        out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
-        return out.map_batches(
-            lambda df: df.assign(n_events=df["n_events"].astype("int64")),
+        return ds.map_batches(add_bucket, batch_format="pandas").groupby(
+            "__bucket"
+        ).map_groups(
+            lambda g: sessionize_bucket(g.drop(columns="__bucket")),
             batch_format="pandas",
         )
 
@@ -663,17 +723,14 @@ def build_catalog():
     )
 
     def distinct_users_per_type(sf_dir):
-        """COUNT(DISTINCT ...) as two partial groupbys: distinct pairs then
-        count — no global distinct shuffle."""
+        """COUNT(DISTINCT ...): distributed distinct of (type, user) pairs
+        (bucketed — pair cardinality grows with users, so no driver
+        materialization), then a tiny per-type count combine."""
         ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-        pairs = partial_groupby(
+        pairs = bucketed_groupby(
             ds, ["event_type", "user_id"], {"n": (None, "count")}
         )
-        out = (
-            pairs.groupby("event_type", sort=True)
-            .agg(n_users=("user_id", "size"))
-            .reset_index()
-        )
+        out = partial_groupby(pairs, ["event_type"], {"n_users": (None, "count")})
         return out.assign(n_users=out["n_users"].astype("int64"))
 
     q(
@@ -697,7 +754,7 @@ def build_catalog():
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        return partial_groupby(
+        return bucketed_groupby(
             routed, ["sink"],
             {"n_rows": (None, "count"), "max_counter": ("counter", "max")},
         )

@@ -32,20 +32,7 @@ def partial_groupby(ds, keys, aggs: dict) -> pd.DataFrame:
     vs ~0.5 s for this pattern.  Use the distributed ``groupby`` only when
     #keys is too large for one machine (then the shuffle is genuinely
     needed)."""
-    pa_aggs = []
-    for out, (col, fn) in aggs.items():
-        if fn == "mean":
-            pa_aggs += [(col, "sum"), (col, "count")]
-        elif fn == "count":
-            pa_aggs += [(keys[0] if col is None else col, "count")]
-        else:
-            pa_aggs += [(col, fn)]
-    # dedupe (pyarrow errors on repeated identical agg specs)
-    seen, uniq = set(), []
-    for spec in pa_aggs:
-        if spec not in seen:
-            seen.add(spec)
-            uniq.append(spec)
+    uniq = _agg_specs(keys, aggs)
 
     def part(t: pa.Table) -> pa.Table:
         return t.group_by(keys).aggregate(uniq)
@@ -53,8 +40,29 @@ def partial_groupby(ds, keys, aggs: dict) -> pd.DataFrame:
     parts = ds.map_batches(
         part, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
+    return _combine_partials(parts, keys, aggs)
 
-    combined = parts.groupby(keys, sort=True)
+
+def _agg_specs(keys, aggs):
+    """Shared partial-agg spec expansion (see partial_groupby)."""
+    pa_aggs = []
+    for _out, (col, fn) in aggs.items():
+        if fn == "mean":
+            pa_aggs += [(col, "sum"), (col, "count")]
+        elif fn == "count":
+            pa_aggs += [(keys[0] if col is None else col, "count")]
+        else:
+            pa_aggs += [(col, fn)]
+    seen, uniq = set(), []
+    for spec in pa_aggs:
+        if spec not in seen:
+            seen.add(spec)
+            uniq.append(spec)
+    return uniq
+
+
+def _combine_partials(df: pd.DataFrame, keys, aggs) -> pd.DataFrame:
+    combined = df.groupby(list(keys), sort=True)
     out_cols = {}
     for out, (col, fn) in aggs.items():
         if fn == "sum":
@@ -67,8 +75,65 @@ def partial_groupby(ds, keys, aggs: dict) -> pd.DataFrame:
         elif fn == "max":
             out_cols[out] = combined[f"{col}_max"].max()
         elif fn == "mean":
-            out_cols[out] = combined[f"{col}_sum"].sum() / combined[f"{col}_count"].sum()
+            out_cols[out] = (
+                combined[f"{col}_sum"].sum() / combined[f"{col}_count"].sum()
+            )
     return pd.DataFrame(out_cols).reset_index()
+
+
+def _key_bucket(df: pd.DataFrame, keys, num_buckets: int) -> np.ndarray:
+    """Deterministic coarse bucket of a (possibly composite) key — the same
+    fixed-key siphash as stages.route.stable_hash, combined across columns
+    by pandas' row hasher."""
+    h = pd.util.hash_pandas_object(df[list(keys)], index=False, categorize=False)
+    return (h % num_buckets).astype(np.int32).to_numpy()
+
+
+def bucketed_groupby(ds, keys, aggs: dict, num_buckets: int = 64):
+    """Distributed groupby for HIGH-cardinality keys with no per-group
+    Python and no driver combine (the scale-safe complement to
+    partial_groupby): per-batch C partials (one row per key per block) →
+    one shuffle on hash(key) % num_buckets → ONE vectorized pandas combine
+    per coarse bucket covering thousands of keys (the reassemble pattern,
+    stages/reassemble.py:28).  Returns a Dataset of keys + named aggregates;
+    the exchange moves partial rows only, never raw rows."""
+    uniq = _agg_specs(keys, aggs)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        g = t.group_by(keys).aggregate(uniq).to_pandas()
+        g["__bucket"] = _key_bucket(g, keys, num_buckets)
+        return g
+
+    partial = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return _combine_partials(df.drop(columns="__bucket"), keys, aggs)
+
+    return partial.groupby("__bucket").map_groups(combine, batch_format="pandas")
+
+
+def bucketed_first_by(ds, key, order: list[str], num_buckets: int = 64,
+                      columns: list[str] | None = None):
+    """First row per key under ``order`` (ascending) at high key cardinality:
+    per-batch vectorized candidate (sort + drop_duplicates — one C call per
+    batch, not per key), shuffle candidates on hash(key), per-bucket final
+    pick.  The exchange moves ≤ one row per key per block."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order).drop_duplicates(key, keep="first")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pick(df)
+        out = out.assign(__bucket=_key_bucket(out, [key], num_buckets))
+        return out
+
+    partial = ds.map_batches(part, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = pick(df.drop(columns="__bucket"))
+        return out[columns] if columns else out
+
+    return partial.groupby("__bucket").map_groups(final, batch_format="pandas")
 
 
 def routed_only(ds):

@@ -40,6 +40,33 @@ def stable_hash(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
 
 
+def add_bucket(ds, num_buckets: int = 64, router=sink_expr):
+    """Append ONLY the ``bucket`` column (hash of the routing key) — the
+    narrow-exchange variant: the ``sink`` string itself is recomputed from
+    the raw columns post-exchange (flagship phase 2), so the shuffle never
+    ships a derived string column it doesn't need."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        sink = router(batch)
+        if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
+            sink = pa.array(sink)
+        bucket = (stable_hash(np.asarray(sink.to_pandas())) % num_buckets).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_sink_column(batch: pa.Table, router=sink_expr) -> pa.Table:
+    """Materialize the ``sink`` routing key on a raw table (phase-2 side of
+    the narrow exchange)."""
+    sink = router(batch)
+    if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
+        sink = pa.array(sink)
+    return batch.append_column("sink", sink)
+
+
 def add_sink_and_bucket(ds, num_buckets: int = 64, router=sink_expr):
     """Append ``sink`` and ``bucket`` columns.  ``bucket`` is the shuffle key:
     B coarse partitions so `groupby(bucket).map_groups` processes thousands of

@@ -1,16 +1,37 @@
-"""Per-partition lineage manifests — the checkpoint/resume state
-(SURVEY §2.4 T2, §4 checkpoint/resume).
+"""Per-partition lineage manifests — the checkpoint/resume + incremental-
+ingest state (SURVEY §2.4 T2, §4 checkpoint/resume).
 
 The reference persists one ``.lastSeq`` file per (id, session) after each
 append and rebuilds its in-memory watermark map by scanning at startup
 (datadecoder/.../SequenceTracker.java:132-154, 43-68), with a documented
 duplicate window between append and checkpoint (DataPumpDecoderSort.java:
-45-51).  The batch recast does strictly better: the unit of commit is a
-whole hash-bucket partition, all of whose outputs are written under
-deterministic names and then sealed by an atomically-renamed manifest JSON.
-A bucket either has a manifest (fully committed, resume skips it) or it
-doesn't (re-run overwrites via os.replace — idempotent).  Task retries and
-job restarts are indistinguishable.
+45-51).  Its operating loop is incremental: new chunks appear, only they are
+decoded, per-key watermarks advance (CacheWatcher.java:36-41).
+
+The batch recast:
+
+* **Unit of commit** is a whole hash-bucket partition: all outputs written
+  under deterministic names, then sealed by an atomically-renamed manifest
+  JSON.  Task retries and job restarts are indistinguishable.
+* **Generation tag**: every bucket manifest records the ``gen`` — a hash of
+  the exact set of input parts it covers.  A bucket is up to date iff its
+  gen matches the current target gen; ``run.json`` records the part set the
+  *whole output* covers and is advanced only when every bucket has reached
+  the target gen (finish_run).
+* **Incremental ingest**: when the previous part set is a strict subset of
+  the current one (files only appended — the reference's operating mode),
+  the run reads ONLY the new parts; buckets receiving new rows are merged
+  (prior routed+quarantine rows re-read from the bucket's own output,
+  re-gated together with the fresh rows — first-wins dedup makes the merge
+  idempotent), untouched buckets are bumped to the new gen without rewrite.
+* **Duplicate window** (reference parity): if a merge crashes between a
+  bucket's output rewrite and its manifest commit, the replayed merge
+  re-applies the new rows; row outputs converge (dedup) but the
+  ``dup_dropped`` metric can over-count for that bucket — the same
+  append-vs-checkpoint window the reference documents.
+* Any *changed or removed* part invalidates everything: all bucket
+  manifests AND all bucket output files are removed (stale buckets would
+  otherwise survive under an input they were not built from).
 """
 
 from __future__ import annotations
@@ -18,10 +39,12 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from dataclasses import dataclass, field
 
 
 MANIFEST_DIR = "_manifests"
 RUN_FILE = "run.json"
+OUTPUT_KINDS = ("routed", "quarantine", "sink_counts", "docs")
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -38,35 +61,74 @@ def atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
-def input_fingerprint(input_path: str) -> str:
-    """Cheap content identity of the input: sorted (name, size, mtime_ns) of
-    the parquet parts.  Bucket contents depend on the WHOLE input (any new
-    file adds rows to every bucket), so a committed bucket is only valid for
-    the exact input it was built from — the reference has the same property
-    (lastSeq is only meaningful for the stream it tracked,
-    SequenceTracker.java:105-113)."""
-    import hashlib
-
-    entries = []
+def scan_parts(input_path: str) -> dict[str, str]:
+    """Content identity of every input part: relpath → "size|mtime_ns",
+    walking the directory RECURSIVELY (nested part dirs are read by
+    read_parquet, so they must be visible to the fingerprint)."""
+    parts: dict[str, str] = {}
     if os.path.isdir(input_path):
-        for name in sorted(os.listdir(input_path)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(input_path, name))
-                entries.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+        for root, _dirs, files in os.walk(input_path):
+            for name in files:
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    st = os.stat(p)
+                    parts[os.path.relpath(p, input_path)] = (
+                        f"{st.st_size}|{st.st_mtime_ns}"
+                    )
     else:
         st = os.stat(input_path)
-        entries.append(f"{os.path.basename(input_path)}|{st.st_size}|{st.st_mtime_ns}")
-    return hashlib.blake2b("\n".join(entries).encode(), digest_size=12).hexdigest()
+        parts[os.path.basename(input_path)] = f"{st.st_size}|{st.st_mtime_ns}"
+    return parts
 
 
-def init_run(out_dir: str, num_buckets: int, input_path: str) -> bool:
-    """Record run-level invariants.  Returns True when committed buckets may
-    be reused (same bucketing AND same input fingerprint).  A resume with
-    different bucketing is an error (partition identity would change); a
-    changed input invalidates all prior bucket manifests (they are removed)
-    since every bucket's contents depend on the whole input."""
+def parts_gen(parts: dict[str, str]) -> str:
+    """The generation id: hash of the exact (name, size, mtime) part set."""
+    import hashlib
+
+    blob = "\n".join(f"{k}|{v}" for k, v in sorted(parts.items()))
+    return hashlib.blake2b(blob.encode(), digest_size=12).hexdigest()
+
+
+def input_fingerprint(input_path: str) -> str:
+    """Back-compat alias: fingerprint of the whole input."""
+    return parts_gen(scan_parts(input_path))
+
+
+@dataclass
+class RunPlan:
+    """What init_run decided: which buckets may be reused, whether this run
+    merges new parts into prior outputs, and what input to read."""
+
+    gen: str
+    parts: dict[str, str]
+    reuse_buckets: bool = False
+    merge: bool = False
+    read_path: object = None  # None → full input; list[str] → new parts only
+    new_parts: list = field(default_factory=list)
+
+
+def _purge_outputs(out_dir: str) -> None:
+    """Full invalidation: prior bucket outputs are stale for the new input —
+    remove them alongside the manifests (a bucket receiving no rows under
+    the new input would otherwise silently keep old rows)."""
+    import shutil
+
+    d = _manifest_dir(out_dir)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("bucket="):
+                os.remove(os.path.join(d, name))
+    for kind in OUTPUT_KINDS:
+        shutil.rmtree(os.path.join(out_dir, kind), ignore_errors=True)
+
+
+def init_run(out_dir: str, num_buckets: int, input_path: str,
+             incremental: bool = True) -> RunPlan:
+    """Record run-level invariants and plan the run.  A resume with
+    different bucketing is an error (partition identity would change)."""
     path = os.path.join(_manifest_dir(out_dir), RUN_FILE)
-    fp = input_fingerprint(input_path)
+    parts = scan_parts(input_path)
+    gen = parts_gen(parts)
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
@@ -75,39 +137,82 @@ def init_run(out_dir: str, num_buckets: int, input_path: str) -> bool:
                 f"resume with num_buckets={num_buckets} but run was started "
                 f"with {prev['num_buckets']} — bucket identity would change"
             )
-        if prev.get("input_fingerprint") == fp:
-            return True
-        # input changed: prior bucket commits are stale — drop them
-        d = _manifest_dir(out_dir)
-        for name in os.listdir(d):
-            if name.startswith("bucket="):
-                os.remove(os.path.join(d, name))
+        prev_parts: dict = prev.get("parts", {})
+        if prev.get("gen") == gen:
+            return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
+        unchanged = all(parts.get(k) == v for k, v in prev_parts.items())
+        # merge is only safe when the previous part set was FULLY committed
+        # (finish_run ran): otherwise a bucket with no manifest cannot be
+        # told apart from a crashed one, and merging only the new parts
+        # would silently drop its old rows.
+        if incremental and prev_parts and unchanged and prev.get("complete"):
+            # files were only APPENDED → incremental merge of the new parts
+            new = sorted(set(parts) - set(prev_parts))
+            return RunPlan(
+                gen=gen, parts=parts, reuse_buckets=True, merge=True,
+                read_path=[os.path.join(input_path, p) for p in new],
+                new_parts=new,
+            )
+        # parts changed or removed (or incremental disabled): full restart
+        _purge_outputs(out_dir)
         atomic_write_json(
             path, {"num_buckets": num_buckets, "input_path": input_path,
-                   "input_fingerprint": fp},
+                   "parts": parts, "gen": gen},
         )
-        return False
+        return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
     atomic_write_json(
         path, {"num_buckets": num_buckets, "input_path": input_path,
-               "input_fingerprint": fp},
+               "parts": parts, "gen": gen},
     )
-    return True
+    return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
 
 
-def commit_bucket(out_dir: str, bucket: int, payload: dict) -> None:
+def finish_run(out_dir: str, plan: RunPlan) -> None:
+    """Seal a run: bump untouched buckets to the target gen (they received
+    no new rows, so their outputs are valid for the new part set), advance
+    run.json and mark it complete — the precondition for a later
+    incremental merge.  Only called after every bucket task succeeded."""
+    d = _manifest_dir(out_dir)
+    if plan.merge:
+        for name in sorted(os.listdir(d)):
+            if name.startswith("bucket=") and name.endswith(".json"):
+                p = os.path.join(d, name)
+                with open(p) as f:
+                    m = json.load(f)
+                if m.get("gen") != plan.gen:
+                    m["gen"] = plan.gen
+                    atomic_write_json(p, m)
+    run_path = os.path.join(d, RUN_FILE)
+    with open(run_path) as f:
+        prev = json.load(f)
+    prev["parts"] = plan.parts
+    prev["gen"] = plan.gen
+    prev["complete"] = True
+    atomic_write_json(run_path, prev)
+
+
+def commit_bucket(out_dir: str, bucket: int, payload: dict,
+                  gen: str | None = None) -> None:
     atomic_write_json(
         os.path.join(_manifest_dir(out_dir), f"bucket={bucket:05d}.json"),
-        {"bucket": bucket, **payload},
+        {"bucket": bucket, "gen": gen, **payload},
     )
 
 
-def committed_buckets(out_dir: str) -> set[int]:
+def committed_buckets(out_dir: str, gen: str | None = None) -> set[int]:
+    """Buckets whose manifest is committed — restricted to generation
+    ``gen`` when given (a bucket from an older part set is NOT committed
+    for the current target)."""
     d = _manifest_dir(out_dir)
     if not os.path.isdir(d):
         return set()
     out = set()
     for name in os.listdir(d):
         if name.startswith("bucket=") and name.endswith(".json"):
+            if gen is not None:
+                with open(os.path.join(d, name)) as f:
+                    if json.load(f).get("gen") != gen:
+                        continue
             out.add(int(name[len("bucket=") : -len(".json")]))
     return out
 
@@ -122,3 +227,21 @@ def load_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def read_bucket_raw(out_dir: str, bucket: int, raw_cols: list[str]):
+    """Incremental-merge input: the bucket's prior committed rows (routed +
+    quarantine), restricted to the raw exchange columns so the merge re-runs
+    the same derive path as a clean run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    for kind in ("routed", "quarantine"):
+        p = os.path.join(out_dir, kind, f"bucket={bucket:05d}.parquet")
+        if os.path.exists(p):
+            t = pq.read_table(p)
+            tables.append(t.select([c for c in raw_cols if c in t.column_names]))
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")

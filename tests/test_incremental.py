@@ -1,0 +1,155 @@
+"""Incremental ingest (SURVEY §2.1 S5; reference CacheWatcher.java:36-41 +
+SequenceTracker.java:105-113): new parquet parts appear, ONLY they are read,
+affected buckets merge new rows with their prior committed output, and the
+result is identical to a clean full run over the combined input — including
+gap-fill promotions (quarantined rows becoming routed) and cross-run dedup.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from log_aggregator_ray.fixtures import generator as gen
+from log_aggregator_ray.pipelines import flagship
+from log_aggregator_ray.state import manifest as mf
+
+
+def _df(out_dir, kind, cols=None):
+    t = pads.dataset(os.path.join(out_dir, kind), format="parquet").to_table()
+    df = t.to_pandas()
+    if cols:
+        df = df[cols]
+    sort = [c for c in ["sink", "turn_idx", "conv_id"] if c in df.columns]
+    return df.sort_values(sort).reset_index(drop=True)
+
+
+def _split_corpus(tmp_path):
+    """Deterministic early/late split: the late part carries (a) gap-filling
+    turns for convs the early run must quarantine, (b) 10 brand-new convs,
+    (c) re-deliveries (exact duplicates) of early rows."""
+    t, _ = gen.generate_transcripts(n_convs=80, seed=7)
+    df = t.to_pandas()
+    sizes = df.groupby("conv_id")["turn_idx"].max().sort_index()
+    gap_convs = list(sizes[sizes >= 5].index[:8])
+    new_convs = list(sizes.index[-10:])
+    late_mask = (
+        df["conv_id"].isin(gap_convs) & (df["turn_idx"] == 2)
+    ) | df["conv_id"].isin(new_convs)
+    early = t.filter(pa.array(~late_mask.to_numpy()))
+    late = t.filter(pa.array(late_mask.to_numpy()))
+    # re-deliver some already-committed rows (exact duplicates)
+    rng = np.random.default_rng(3)
+    dup = early.take(pa.array(np.sort(rng.choice(early.num_rows, 40, replace=False))))
+    late = pa.concat_tables([late, dup])
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(early, os.path.join(d, "part-000.parquet"))
+    return d, early, late, gap_convs
+
+
+def test_incremental_matches_clean_full_run(tmp_path):
+    d, early, late, gap_convs = _split_corpus(tmp_path)
+    inc = str(tmp_path / "inc")
+    clean = str(tmp_path / "clean")
+
+    r1 = flagship.run_flagship(d, inc, num_buckets=8)
+    q1 = _df(inc, "quarantine")
+    assert set(gap_convs) <= set(q1["conv_id"])  # gaps held back
+
+    # new part appears — the reference's operating loop
+    pq.write_table(late, os.path.join(d, "part-001.parquet"))
+    r2 = flagship.run_flagship(d, inc, num_buckets=8)
+    assert r2["incremental"] is True
+    assert r2["rows_in"] == early.num_rows + late.num_rows
+    assert r2["dup_dropped"] >= 40  # re-deliveries dropped across runs
+
+    # clean one-shot run over the SAME combined input
+    cd = str(tmp_path / "clean_corpus")
+    os.makedirs(cd)
+    pq.write_table(early, os.path.join(cd, "part-000.parquet"))
+    pq.write_table(late, os.path.join(cd, "part-001.parquet"))
+    rc = flagship.run_flagship(cd, clean, num_buckets=8)
+
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(inc, kind), _df(clean, kind))
+    for k in ("rows_in", "routed", "quarantined", "dup_dropped", "n_sinks"):
+        assert r2[k] == rc[k], k
+
+    # gap fillers promoted quarantined rows to routed
+    q2 = _df(inc, "quarantine")
+    assert not (set(gap_convs) & set(q2["conv_id"]))
+
+    # third run with nothing new: pure resume, zero work
+    r3 = flagship.run_flagship(d, inc, num_buckets=8)
+    assert r3["buckets_this_run"] == 0
+    assert r3["rows_in"] == r2["rows_in"]
+
+
+def test_incremental_reads_only_new_parts(tmp_path):
+    d, early, late, _ = _split_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+    pq.write_table(late, os.path.join(d, "part-001.parquet"))
+
+    plan = mf.init_run(out, 8, d)
+    assert plan.merge and plan.new_parts == ["part-001.parquet"]
+    assert plan.read_path == [os.path.join(d, "part-001.parquet")]
+
+
+def test_changed_part_purges_stale_outputs(tmp_path):
+    """A REMOVED (or modified) part invalidates everything: buckets whose
+    rows came only from it must not survive as stale output files."""
+    t, _ = gen.generate_transcripts(n_convs=40, seed=11)
+    half = t.num_rows // 2
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(t.slice(0, half), os.path.join(d, "part-000.parquet"))
+    pq.write_table(t.slice(half), os.path.join(d, "part-001.parquet"))
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+
+    os.remove(os.path.join(d, "part-001.parquet"))
+    flagship.run_flagship(d, out, num_buckets=8)
+
+    clean = str(tmp_path / "clean")
+    cd = str(tmp_path / "clean_corpus")
+    os.makedirs(cd)
+    pq.write_table(t.slice(0, half), os.path.join(cd, "part-000.parquet"))
+    flagship.run_flagship(cd, clean, num_buckets=8)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(out, kind), _df(clean, kind))
+
+
+def test_crashed_merge_replay_converges(tmp_path):
+    """Replaying a merge whose manifest commit was lost converges to the
+    same rows (first-wins dedup makes the merge idempotent)."""
+    d, early, late, _ = _split_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+    pq.write_table(late, os.path.join(d, "part-001.parquet"))
+    flagship.run_flagship(d, out, num_buckets=8)
+    routed_before = _df(out, "routed")
+
+    # simulate the crash window: a merged bucket's manifest loses its gen
+    # (as if commit happened but finish_run didn't) → next run re-merges it
+    mdir = os.path.join(out, "_manifests")
+    victim = sorted(n for n in os.listdir(mdir) if n.startswith("bucket="))[0]
+    import json
+
+    with open(os.path.join(mdir, victim)) as f:
+        m = json.load(f)
+    m["gen"] = "stale"
+    mf.atomic_write_json(os.path.join(mdir, victim), m)
+    with open(os.path.join(mdir, "run.json")) as f:
+        run = json.load(f)
+    run["gen"] = "stale-run"
+    run["parts"] = {"part-000.parquet": run["parts"]["part-000.parquet"]}
+    mf.atomic_write_json(os.path.join(mdir, "run.json"), run)
+
+    flagship.run_flagship(d, out, num_buckets=8)
+    pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
