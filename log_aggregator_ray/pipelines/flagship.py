@@ -77,11 +77,11 @@ def make_skip_committed(committed: set[int]):
     return skip
 
 
-def _write_part(table: pa.Table, out_dir: str, kind: str, bucket: int,
+def _write_part(table: pa.Table, out_dir: str, kind: str, name: str,
                 columns: list[str] | None = None) -> str:
     import pyarrow.parquet as pq
 
-    path = os.path.join(out_dir, kind, f"bucket={bucket:05d}.parquet")
+    path = os.path.join(out_dir, kind, f"bucket={name}.parquet")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if columns is not None:
         table = table.select([c for c in columns if c in table.column_names])
@@ -91,20 +91,46 @@ def _write_part(table: pa.Table, out_dir: str, kind: str, bucket: int,
     return path
 
 
+# A phase-2 task above this row count is sub-split by sink hash into slices
+# of ~SPLIT_TARGET rows, each its own nested Ray task.  The generator plants
+# a pathologically hot conversation (~5% of ALL rows in one sink → one
+# bucket 8× the median); without the split that bucket is a straggler that
+# wall-bounds phase 2 at every CPU count (measured: p50 bucket 0.86 s, hot
+# bucket 12.6 s).  Whole sinks stay within one slice — reassembly/doc
+# assembly need every row of a sink together — so one giant sink remains
+# the irreducible floor, but it no longer drags its bucket-mates with it.
+SPLIT_ROWS = 400_000
+SPLIT_TARGET = 200_000
+
+
+def _ship(t: pa.Table) -> pa.Buffer:
+    """Compact a table (slice) into an IPC buffer for cross-task transfer.
+    Pickling a zero-copy slice ships the ENTIRE parent table's buffers
+    (measured: 100× the slice bytes); the IPC writer truncates buffers to
+    the sliced region, so nested slice tasks receive only their rows."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _unship(buf) -> pa.Table:
+    return pa.ipc.open_stream(buf).read_all()
+
+
 def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
                        gen: str | None = None):
     """Build the per-bucket processing fn: RAW rows in (exchange output),
     sink derivation + reassembly + parse + enrich + all sink writes inside
-    the task.  Deterministic output names keyed by bucket make task retries
+    the task (sub-split into nested tasks when the bucket is fat).
+    Deterministic output names keyed by bucket(.slice) make task retries
     idempotent; the manifest rename is the commit point."""
     import pyarrow.compute as pc
 
-    def process_bucket(t: pa.Table, bucket: int,
-                       prior_dups: int = 0, prior_rows: int = 0) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        rows_in = t.num_rows
+    from ..stages.route import stable_hash
 
-        t = add_sink_column(t, router=router)
+    def process_slice(t: pa.Table, name: str) -> dict:
+        """One unit of phase-2 work: every row of every sink in ``t``."""
         out = reassemble_table(t)
         out = parse_batch(out)      # derived columns post-exchange (M4/M8)
         out = enrich_table(out)     # broadcast dict joins post-exchange (J3)
@@ -112,9 +138,9 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
         routed = out.filter(mask)
         quarantined = out.filter(pc.invert(mask))
 
-        _write_part(routed, out_dir, "routed", bucket, ROUTED_COLS)
+        _write_part(routed, out_dir, "routed", name, ROUTED_COLS)
         _write_part(
-            quarantined, out_dir, "quarantine", bucket,
+            quarantined, out_dir, "quarantine", name,
             ROUTED_COLS + ["first_missing_turn"],
         )
 
@@ -125,23 +151,262 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
             .rename_columns(["sink", "n_rows", "max_counter"])
         )
         counts = counts.take(pc.sort_indices(counts["sink"]))
-        _write_part(counts, out_dir, "sink_counts", bucket)
+        _write_part(counts, out_dir, "sink_counts", name)
 
         if write_docs:
-            _write_part(assemble_docs_table(routed), out_dir, "docs", bucket)
+            _write_part(assemble_docs_table(routed), out_dir, "docs", name)
 
-        payload = {
-            "rows_in": int(rows_in + prior_rows),
+        return {
+            "rows_in": t.num_rows,
             "routed": int(routed.num_rows),
             "quarantined": int(quarantined.num_rows),
-            "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0) + prior_dups,
+            "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0),
             "n_sinks": int(counts.num_rows),
+        }
+
+    def process_bucket(t: pa.Table, bucket: int,
+                       prior_dups: int = 0, prior_rows: int = 0) -> pd.DataFrame:
+        import glob
+
+        t0 = time.perf_counter()
+        t = add_sink_column(t, router=router)
+
+        # stale-name cleanup: the slice count may differ from a prior run of
+        # this bucket (input grew on an incremental merge) — deterministic
+        # names only collide WITHIN a layout, so clear the bucket's old
+        # files first (manifest gen still marks the commit point)
+        for kind in ("routed", "quarantine", "sink_counts", "docs"):
+            for p in glob.glob(os.path.join(out_dir, kind,
+                                            f"bucket={bucket:05d}*.parquet")):
+                os.remove(p)
+
+        if t.num_rows > SPLIT_ROWS:
+            import ray
+
+            # slice on the UPPER hash bits (lower bits chose the bucket) so
+            # every sink lands wholly in one slice
+            h = stable_hash(t["sink"].to_pandas().to_numpy())
+            nsub = max(2, -(-t.num_rows // SPLIT_TARGET))
+            sub = ((h >> np.uint64(32)) % np.uint64(nsub)).astype(np.int32)
+            order = np.argsort(sub, kind="stable")
+            ts = t.take(pa.array(order))
+            subs = sub[order]
+            starts = np.flatnonzero(np.r_[True, subs[1:] != subs[:-1]])
+            ends = np.append(starts[1:], len(subs))
+            slice_task = ray.remote(
+                lambda buf, name: process_slice(_unship(buf), name)
+            )
+            futures = [
+                slice_task.remote(
+                    _ship(ts.slice(s, e - s)), f"{bucket:05d}.{int(subs[s]):03d}"
+                )
+                for s, e in zip(starts, ends)
+            ]
+            parts = ray.get(futures)
+        else:
+            parts = [process_slice(t, f"{bucket:05d}")]
+
+        payload = {
+            "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows),
+            "routed": int(sum(p["routed"] for p in parts)),
+            "quarantined": int(sum(p["quarantined"] for p in parts)),
+            "dup_dropped": int(sum(p["dup_dropped"] for p in parts)) + prior_dups,
+            "n_sinks": int(sum(p["n_sinks"] for p in parts)),
             "wall_sec": round(time.perf_counter() - t0, 4),
         }
         mf.commit_bucket(out_dir, bucket, payload, gen=gen)
         return pd.DataFrame([{"bucket": bucket, **payload}])
 
     return process_bucket
+
+
+def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
+                       gen: str | None = None):
+    """Phase-2 pipeline for a hot-sink pseudo-bucket: block-parallel
+    reassembly of ONE giant key (see the hot-sink header note).  Every
+    block task reads only its own turn-range files; the parent combines
+    tiny per-block summaries — no task ever holds the whole sink."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def scan_block(files: list[str]) -> dict:
+        """Pass A: gate inputs from the turn_idx column only."""
+        t0 = time.perf_counter()
+        ts = [
+            pq.read_table(f, columns=["turn_idx"])["turn_idx"]
+            .to_numpy(zero_copy_only=False)
+            for f in files
+        ]
+        u = np.unique(np.concatenate(ts).astype(np.int64))
+        gaps = np.flatnonzero(np.diff(u) != 1)
+        return {
+            "mn": int(u[0]),
+            "mx": int(u[-1]),
+            "first_missing": int(u[gaps[0]] + 1) if gaps.size else None,
+            "wall": round(time.perf_counter() - t0, 4),
+        }
+
+    def emit_block(files: list[str], name: str, G: int | None) -> dict:
+        """Pass B: dedup + global label + derive + write, one turn range."""
+        _t0 = time.perf_counter()
+        tabs = []
+        for f in files:
+            t = pq.read_table(f)
+            tabs.append(t.select([c for c in EXCHANGE_COLS if c in t.column_names]))
+        t = pa.concat_tables(tabs, promote_options="default")
+        rows_in = t.num_rows
+        t = add_sink_column(t, router=router)
+        out = reassemble_table(t)  # sort + first-wins dedup (local gate unused)
+        turns = out["turn_idx"].to_numpy(zero_copy_only=False)
+        routed_mask = np.ones(len(turns), bool) if G is None else turns < G
+        out = (
+            out.drop_columns(["status", "first_missing_turn"])
+            .append_column(
+                "status", pa.array(np.where(routed_mask, "routed", "quarantined"))
+            )
+            .append_column(
+                "first_missing_turn",
+                pa.array(
+                    np.where(routed_mask, 0, 0 if G is None else G).astype(np.int64)
+                ),
+            )
+        )
+        out = parse_batch(out)
+        out = enrich_table(out)
+        routed = out.filter(pa.array(routed_mask))
+        quarantined = out.filter(pa.array(~routed_mask))
+        _write_part(routed, out_dir, "routed", name, ROUTED_COLS)
+        _write_part(quarantined, out_dir, "quarantine", name,
+                    ROUTED_COLS + ["first_missing_turn"])
+        frag = None
+        if write_docs and routed.num_rows:
+            la = pa.ListArray.from_arrays(
+                pa.array([0, routed.num_rows], pa.int64()),
+                routed["text"].combine_chunks(),
+            )
+            frag = pc.binary_join(la, "\n")[0].as_py()
+        return {
+            "rows_in": rows_in,
+            "routed": int(routed.num_rows),
+            "quarantined": int(quarantined.num_rows),
+            "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0),
+            "max_counter": (
+                int(pc.max(routed["counter"]).as_py()) if routed.num_rows else None
+            ),
+            "sink": t["sink"][0].as_py() if t.num_rows else None,
+            "conv_id": t["conv_id"][0].as_py() if t.num_rows else None,
+            "frag": frag,
+            "wall": round(time.perf_counter() - _t0, 4),
+        }
+
+    def finalize_bucket(bucket: int, blocks: list[int], prior_dups: int,
+                        prior_rows: int, t0: float, *parts) -> pd.DataFrame:
+        """Combine the tiny per-block summaries: one sink_counts row, one
+        assembled doc (block fragments joined in turn order), the bucket
+        manifest.  Runs as a remote task so the (possibly large) doc string
+        never touches the driver."""
+        # stale block parts from a previous layout of this pseudo-bucket
+        import glob as globmod
+
+        live = {f"bucket={bucket:05d}.{b:04d}.parquet" for b in blocks}
+        for kind in ("routed", "quarantine"):
+            for p in globmod.glob(
+                os.path.join(out_dir, kind, f"bucket={bucket:05d}*.parquet")
+            ):
+                if os.path.basename(p) not in live:
+                    os.remove(p)
+
+        routed_n = int(sum(p["routed"] for p in parts))
+        max_counter = max(
+            (p["max_counter"] for p in parts if p["max_counter"] is not None),
+            default=None,
+        )
+        sink = next((p["sink"] for p in parts if p["sink"]), None)
+        conv = next((p["conv_id"] for p in parts if p["conv_id"]), None)
+        counts = pa.table({
+            "sink": pa.array([sink] if routed_n else [], pa.string()),
+            "n_rows": pa.array([routed_n] if routed_n else [], pa.int64()),
+            "max_counter": pa.array(
+                [max_counter] if routed_n else [], pa.int64()
+            ),
+        })
+        _write_part(counts, out_dir, "sink_counts", f"{bucket:05d}")
+        if write_docs:
+            frags = [p["frag"] for p in parts if p["frag"] is not None]
+            docs = pa.table({
+                "sink": pa.array([sink] if frags else [], pa.string()),
+                "conv_id": pa.array([conv] if frags else [], pa.string()),
+                "assembled_text": pa.array(
+                    ["\n".join(frags)] if frags else [], pa.string()
+                ),
+            })
+            _write_part(docs, out_dir, "docs", f"{bucket:05d}")
+
+        payload = {
+            "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows),
+            "routed": routed_n,
+            "quarantined": int(sum(p["quarantined"] for p in parts)),
+            "dup_dropped": int(sum(p["dup_dropped"] for p in parts)) + prior_dups,
+            "n_sinks": 1 if routed_n else 0,
+            "wall_sec": round(time.perf_counter() - t0, 4),
+            "emit_wall_max": max((p["wall"] for p in parts), default=0.0),
+            "emit_wall_sum": round(sum(p["wall"] for p in parts), 3),
+        }
+        mf.commit_bucket(out_dir, bucket, payload, gen=gen)
+        return pd.DataFrame([{"bucket": bucket, **payload}])
+
+    class HotPipeline:
+        """Driver-side orchestration handles: the scan round is submitted
+        BEFORE the normal bucket tasks (so gate inputs don't queue behind a
+        full wave), emits are submitted the moment a sink's gate resolves,
+        and finalize consumes the emit futures without driver round-trips."""
+
+        def __init__(self):
+            import ray
+
+            self.scan = ray.remote(scan_block)
+            self.emit = ray.remote(emit_block)
+            self.finalize = ray.remote(finalize_bucket)
+
+        @staticmethod
+        def group_files(spill_dir: str,
+                        prior_parts: list[str] | None = None) -> dict:
+            import re
+
+            groups: dict[int, list[str]] = {}
+            if os.path.isdir(spill_dir):
+                for f in os.listdir(spill_dir):
+                    m = re.match(r"tb(\d+)-.*\.parquet$", f)
+                    if m:
+                        groups.setdefault(int(m.group(1)), []).append(
+                            os.path.join(spill_dir, f)
+                        )
+            # incremental merge: a block's prior committed rows live in its
+            # own deterministically-named output part — feed them back in
+            for p in prior_parts or ():
+                m = re.match(r"bucket=\d+\.(\d+)\.parquet$", os.path.basename(p))
+                if m:
+                    groups.setdefault(int(m.group(1)), []).append(p)
+            return groups
+
+        @staticmethod
+        def combine_gate(infos: list[dict]) -> int | None:
+            """Hierarchical contiguity: walk per-block (min, max, first
+            internal gap) in turn order → the sink's global first missing
+            turn, or None when fully contiguous."""
+            G = None
+            prev_max = None
+            for inf in infos:
+                if prev_max is not None and inf["mn"] != prev_max + 1:
+                    G = prev_max + 1
+                    break
+                if inf["first_missing"] is not None:
+                    G = inf["first_missing"]
+                    break
+                prev_max = inf["mx"]
+            return G
+
+    return HotPipeline()
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +425,76 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
 # Columns the exchange ships: the raw transcript schema + optional session.
 # Everything else is derived post-exchange.
 EXCHANGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "session"]
+
+# ---------------------------------------------------------------------------
+# hot-sink handling: one giant key range-partitioned by sequence number
+# ---------------------------------------------------------------------------
+#
+# The corpus contains a pathologically hot conversation (~10% of ALL rows in
+# one sink).  A sink's reassembly normally needs every row in one task, so a
+# giant sink is a phase-2 straggler no amount of bucket splitting removes
+# (measured: hot-sink task ≈ 8-15 s while the p50 bucket is < 1 s — it wall-
+# bounds phase 2 at every CPU count).  The fix is the classic giant-key
+# recipe: RANGE-partition the hot sink by turn_idx block at spill time, then
+# gate hierarchically —
+#   pass A: per-block scan of the turn_idx column only (min, max, first
+#           internal gap after dedup),
+#   combine: walk blocks in order → the sink's global first missing turn G,
+#   pass B: per-block dedup + label (turn < G → routed) + parse + enrich +
+#           write, fully parallel.
+# Duplicates share a turn_idx → the same block, so dedup stays exact; the
+# contiguity gate is a prefix property, so G alone labels every block.
+HOT_SINK_ROWS = 250_000     # estimated rows above which a sink goes hot
+TURN_BLOCK = 65_536          # turn_idx range per hot-sink partition
+
+
+def detect_hot_sinks(input_path: str, router=sink_expr,
+                     threshold: int = HOT_SINK_ROWS,
+                     sample_parts: int = 4) -> list[int]:
+    """Estimate per-sink row counts from a deterministic sample of parts and
+    return the (sorted) stable hashes of sinks expected to exceed
+    ``threshold`` rows.  Reads only the routing-key columns of ≤
+    ``sample_parts`` files — a ~0.2 s pre-pass at 21M rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..stages.route import stable_hash
+
+    if os.path.isdir(input_path):
+        parts = sorted(
+            glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        parts = [input_path] if os.path.exists(input_path) else []
+    if not parts:
+        return []
+    total_rows = sum(pq.read_metadata(p).num_rows for p in parts)
+    step = max(1, len(parts) // sample_parts)
+    sample = parts[::step][:sample_parts]
+
+    counts: dict[str, int] = {}
+    sample_rows = 0
+    for p in sample:
+        schema = pq.read_schema(p)
+        cols = [c for c in ("conv_id", "session") if c in schema.names]
+        t = pq.read_table(p, columns=cols)
+        sink = router(t)
+        if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
+            sink = pa.array(sink)
+        vc = pd.Series(np.asarray(sink.to_pandas())).value_counts()
+        sample_rows += t.num_rows
+        # only the head can plausibly clear the threshold
+        for k, v in vc.head(64).items():
+            counts[k] = counts.get(k, 0) + int(v)
+    if not sample_rows:
+        return []
+    scale = total_rows / sample_rows
+    hot = [k for k, v in counts.items() if v * scale > threshold]
+    if not hot:
+        return []
+    h = stable_hash(np.asarray(hot, dtype=object))
+    return sorted(int(x) for x in np.unique(h))
 
 
 def _single_node() -> bool:
@@ -218,15 +553,28 @@ def _slice_key(part: pa.Table, bucket: int) -> str:
     return h.hexdigest()
 
 
-def make_spiller(out_dir: str):
+def make_spiller(out_dir: str, num_buckets: int = 1 << 30,
+                 turn_block: int = TURN_BLOCK):
     """Phase-1 map task: split a block by bucket, write one spill file per
     (bucket, block) under the bucket's spill dir — RAW columns only (see
-    EXCHANGE_COLS).  File names are a content hash of the slice → task
-    retries overwrite the same file (idempotent, like every sink in this
-    pipeline)."""
+    EXCHANGE_COLS).  Hot-sink pseudo-buckets (id ≥ num_buckets) are further
+    split into turn_idx-range files (``tb<blk>-…``) so phase 2 can gate the
+    giant key block-parallel.  File names are a content hash of the slice →
+    task retries overwrite the same file (idempotent, like every sink in
+    this pipeline)."""
     import pyarrow.parquet as pq
 
     spill_root = _spill_dir(out_dir)
+
+    def write_slice(part: pa.Table, bk: int, prefix: str = "") -> None:
+        key = _slice_key(part, bk)
+        d = os.path.join(spill_root, f"bucket={bk:05d}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{prefix}{key}.tmp-{os.getpid()}")
+        # snappy halves exchange bytes for ~10% codec CPU — at high
+        # parallelism the pipeline is bytes-bound, not CPU-bound
+        pq.write_table(part, tmp)
+        os.replace(tmp, os.path.join(d, f"{prefix}{key}.parquet"))
 
     def spill(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy()
@@ -240,14 +588,19 @@ def make_spiller(out_dir: str):
         for s, e in zip(starts, ends):
             part = ts.slice(s, e - s)
             bk = int(bs[s])
-            key = _slice_key(part, bk)
-            d = os.path.join(spill_root, f"bucket={bk:05d}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".{key}.tmp-{os.getpid()}")
-            # snappy halves exchange bytes for ~10% codec CPU — at high
-            # parallelism the pipeline is bytes-bound, not CPU-bound
-            pq.write_table(part, tmp)
-            os.replace(tmp, os.path.join(d, f"{key}.parquet"))
+            if bk < num_buckets:
+                write_slice(part, bk)
+                continue
+            # hot pseudo-bucket: one file per turn_idx block
+            turns = part["turn_idx"].to_numpy(zero_copy_only=False)
+            tb = (turns // turn_block).astype(np.int64)
+            o2 = np.argsort(tb, kind="stable")
+            p2 = part.take(pa.array(o2))
+            t2 = tb[o2]
+            s2 = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
+            e2 = np.append(s2[1:], len(t2))
+            for ss, ee in zip(s2, e2):
+                write_slice(p2.slice(ss, ee - ss), bk, f"tb{int(t2[ss]):05d}-")
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
     return spill
@@ -292,7 +645,9 @@ def flagship_dataset(input_path: str, num_buckets: int = 64,
 def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                  enrich_concurrency=None, batch_size: int = 32768,
                  resume: bool = True, write_docs: bool = True,
-                 exchange: str = "spill", incremental: bool = True) -> dict:
+                 exchange: str = "spill", incremental: bool = True,
+                 hot_sink_rows: int = HOT_SINK_ROWS,
+                 turn_block: int = TURN_BLOCK) -> dict:
     """Execute the full pipeline with partitioned sinks + manifests.
 
     ``exchange="spill"`` (default) uses the two-phase disk exchange (see
@@ -316,8 +671,15 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
     if num_buckets is None:
         num_buckets = auto_buckets(input_path)
     os.makedirs(out_dir, exist_ok=True)
+    # hot-sink detection must be STABLE across incremental runs (a sink that
+    # grows hot later keeps its original bucket until a full restart), so
+    # the detected set is persisted with the run and re-detection only
+    # applies to fresh/invalidated runs (init_run decides).
+    detected_hot = detect_hot_sinks(input_path, threshold=hot_sink_rows)
     plan = mf.init_run(out_dir, num_buckets, input_path,
-                       incremental=resume and incremental)
+                       incremental=resume and incremental,
+                       hot_hashes=detected_hot)
+    hot_hashes = plan.hot_hashes
     committed = (
         mf.committed_buckets(out_dir, plan.gen)
         if (resume and plan.reuse_buckets)
@@ -325,7 +687,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
     )
 
     ds = read_transcripts(plan.read_path or input_path)
-    ds = add_bucket(ds, num_buckets=num_buckets)
+    ds = add_bucket(ds, num_buckets=num_buckets, hot_hashes=hot_hashes)
     if committed:
         ds = ds.map_batches(
             make_skip_committed(committed),
@@ -334,6 +696,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         )
 
     writer = make_bucket_writer(out_dir, write_docs=write_docs, gen=plan.gen)
+    hot_writer = make_hot_processor(out_dir, write_docs=write_docs, gen=plan.gen)
     prior = {m["bucket"]: m for m in mf.load_manifests(out_dir)} if plan.merge else {}
 
     def bucket_table(bk: int, fresh: pa.Table) -> tuple[pa.Table, int, int]:
@@ -353,6 +716,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             int(m.get("routed", 0)) + int(m.get("quarantined", 0))
         )
 
+    phase_times: dict[str, float] = {}
     if exchange == "spill":
         import ray
 
@@ -361,10 +725,14 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         # phase 1: partition to disk — parallel map tasks, no all-to-all
         # large rebatch: fewer, bigger spill slices per bucket (256 tiny
         # files/bucket at 21M rows cost ~1.3 s/bucket of read overhead)
+        t0 = time.perf_counter()
         ds.map_batches(
-            make_spiller(out_dir), batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=400_000,
+            make_spiller(out_dir, num_buckets, turn_block=turn_block),
+            batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=400_000,
         ).count()
+        phase_times["phase1_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
 
         # phase 2: one ordinary Ray task per spilled bucket.  (The Dataset
         # API can't express "one task per on-disk partition, no re-shuffle";
@@ -378,17 +746,76 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             merged, pd_, pr_ = bucket_table(bk, fresh)
             return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
 
+        def _dir_bytes(bk: int) -> int:
+            d = os.path.join(spill_root, f"bucket={bk:05d}")
+            return sum(e.stat().st_size for e in os.scandir(d))
+
+        def _prior_state(bk: int) -> tuple[int, int, list[str]]:
+            import glob as globmod
+
+            if not (plan.merge and bk in prior):
+                return 0, 0, []
+            m = prior[bk]
+            pd_ = int(m.get("dup_dropped", 0))
+            pr_ = int(m.get("rows_in", 0)) - (
+                int(m.get("routed", 0)) + int(m.get("quarantined", 0))
+            )
+            parts_: list[str] = []
+            for kind in ("routed", "quarantine"):
+                parts_ += globmod.glob(os.path.join(
+                    out_dir, kind, f"bucket={bk:05d}.*.parquet"
+                ))
+            return pd_, pr_, parts_
+
         todo = (
-            sorted(
+            [
                 int(name.split("=")[1])
                 for name in os.listdir(spill_root)
                 if name.startswith("bucket=")
-            )
+            ]
             if os.path.isdir(spill_root)
             else []
         )
-        ran_parts = ray.get([run_bucket.remote(b) for b in todo])
+        # largest buckets first: fat buckets start at t=0 instead of landing
+        # in the last wave and wall-bounding phase 2
+        todo.sort(key=_dir_bytes, reverse=True)
+        hot_todo = [b for b in todo if b >= num_buckets]
+        norm_todo = [b for b in todo if b < num_buckets]
+
+        # hot pseudo-buckets: scans submitted FIRST (ahead of the normal
+        # wave), emits the moment each gate resolves, finalize remote
+        hot_groups: dict[int, dict] = {}
+        hot_scans: dict[int, list] = {}
+        for bk in hot_todo:
+            d = os.path.join(spill_root, f"bucket={bk:05d}")
+            _pd, _pr, pparts = _prior_state(bk)
+            groups = hot_writer.group_files(d, pparts)
+            hot_groups[bk] = groups
+            hot_scans[bk] = [
+                hot_writer.scan.remote(groups[b]) for b in sorted(groups)
+            ]
+        norm_futs = [run_bucket.remote(b) for b in norm_todo]
+        hot_futs = []
+        for bk in hot_todo:
+            groups = hot_groups[bk]
+            blocks = sorted(groups)
+            tg = time.perf_counter()
+            G = hot_writer.combine_gate(ray.get(hot_scans[bk]))
+            phase_times["hot_gate_sec"] = round(
+                phase_times.get("hot_gate_sec", 0.0)
+                + time.perf_counter() - tg, 3
+            )
+            emits = [
+                hot_writer.emit.remote(groups[b], f"{bk:05d}.{b:04d}", G)
+                for b in blocks
+            ]
+            _pd, _pr, _ = _prior_state(bk)
+            hot_futs.append(hot_writer.finalize.remote(
+                bk, blocks, _pd, _pr, time.perf_counter(), *emits
+            ))
+        ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
         ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
+        phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(spill_root, ignore_errors=True)
     else:
         def grouped_writer(t: pa.Table) -> pd.DataFrame:
@@ -413,6 +840,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         "quarantined": sum(m["quarantined"] for m in all_manifests),
         "dup_dropped": sum(m["dup_dropped"] for m in all_manifests),
         "n_sinks": sum(m["n_sinks"] for m in all_manifests),
+        **phase_times,
     }
     return report
 

@@ -40,19 +40,34 @@ def stable_hash(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
 
 
-def add_bucket(ds, num_buckets: int = 64, router=sink_expr):
+def add_bucket(ds, num_buckets: int = 64, router=sink_expr,
+               hot_hashes: np.ndarray | None = None):
     """Append ONLY the ``bucket`` column (hash of the routing key) — the
     narrow-exchange variant: the ``sink`` string itself is recomputed from
     the raw columns post-exchange (flagship phase 2), so the shuffle never
-    ships a derived string column it doesn't need."""
+    ships a derived string column it doesn't need.
+
+    ``hot_hashes`` (sorted uint64 array of sink hashes): pathologically hot
+    sinks are routed to their own pseudo-bucket ``num_buckets + i`` instead
+    of a hash bucket, so one giant key never drags a bucket's-worth of
+    normal sinks into its straggler task (flagship hot-sink path)."""
+    hot = np.sort(np.asarray(hot_hashes, dtype=np.uint64)) if (
+        hot_hashes is not None and len(hot_hashes)
+    ) else None
 
     def _add(batch: pa.Table) -> pa.Table:
         sink = router(batch)
         if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
             sink = pa.array(sink)
-        bucket = (stable_hash(np.asarray(sink.to_pandas())) % num_buckets).astype(
-            np.int32
-        )
+        h = stable_hash(np.asarray(sink.to_pandas()))
+        bucket = (h % num_buckets).astype(np.int32)
+        if hot is not None:
+            idx = np.searchsorted(hot, h)
+            idx_c = np.minimum(idx, len(hot) - 1)
+            is_hot = hot[idx_c] == h
+            bucket = np.where(
+                is_hot, (num_buckets + idx_c).astype(np.int32), bucket
+            )
         return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
     return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)

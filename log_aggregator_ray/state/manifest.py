@@ -105,6 +105,9 @@ class RunPlan:
     merge: bool = False
     read_path: object = None  # None → full input; list[str] → new parts only
     new_parts: list = field(default_factory=list)
+    # persisted hot-sink hashes: STABLE for the lifetime of an output dir so
+    # pseudo-bucket identity never shifts between incremental runs
+    hot_hashes: list = field(default_factory=list)
 
 
 def _purge_outputs(out_dir: str) -> None:
@@ -123,12 +126,17 @@ def _purge_outputs(out_dir: str) -> None:
 
 
 def init_run(out_dir: str, num_buckets: int, input_path: str,
-             incremental: bool = True) -> RunPlan:
+             incremental: bool = True,
+             hot_hashes: list[int] | None = None) -> RunPlan:
     """Record run-level invariants and plan the run.  A resume with
-    different bucketing is an error (partition identity would change)."""
+    different bucketing is an error (partition identity would change).
+    ``hot_hashes`` is the CURRENT hot-sink detection — stored on fresh or
+    invalidated runs; resumed/merged runs return the stored set instead
+    (pseudo-bucket identity must not shift under committed output)."""
     path = os.path.join(_manifest_dir(out_dir), RUN_FILE)
     parts = scan_parts(input_path)
     gen = parts_gen(parts)
+    hot_now = [int(h) for h in (hot_hashes or [])]
     if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
@@ -138,8 +146,10 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
                 f"with {prev['num_buckets']} — bucket identity would change"
             )
         prev_parts: dict = prev.get("parts", {})
+        prev_hot = [int(h) for h in prev.get("hot_hashes", [])]
         if prev.get("gen") == gen:
-            return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
+            return RunPlan(gen=gen, parts=parts, reuse_buckets=True,
+                           hot_hashes=prev_hot)
         unchanged = all(parts.get(k) == v for k, v in prev_parts.items())
         # merge is only safe when the previous part set was FULLY committed
         # (finish_run ran): otherwise a bucket with no manifest cannot be
@@ -151,20 +161,24 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
             return RunPlan(
                 gen=gen, parts=parts, reuse_buckets=True, merge=True,
                 read_path=[os.path.join(input_path, p) for p in new],
-                new_parts=new,
+                new_parts=new, hot_hashes=prev_hot,
             )
         # parts changed or removed (or incremental disabled): full restart
         _purge_outputs(out_dir)
         atomic_write_json(
             path, {"num_buckets": num_buckets, "input_path": input_path,
-                   "parts": parts, "gen": gen},
+                   "parts": parts, "gen": gen,
+                   "hot_hashes": [str(h) for h in hot_now]},
         )
-        return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
+        return RunPlan(gen=gen, parts=parts, reuse_buckets=True,
+                       hot_hashes=hot_now)
     atomic_write_json(
         path, {"num_buckets": num_buckets, "input_path": input_path,
-               "parts": parts, "gen": gen},
+               "parts": parts, "gen": gen,
+               "hot_hashes": [str(h) for h in hot_now]},
     )
-    return RunPlan(gen=gen, parts=parts, reuse_buckets=True)
+    return RunPlan(gen=gen, parts=parts, reuse_buckets=True,
+                   hot_hashes=hot_now)
 
 
 def finish_run(out_dir: str, plan: RunPlan) -> None:
@@ -233,13 +247,17 @@ def read_bucket_raw(out_dir: str, bucket: int, raw_cols: list[str]):
     """Incremental-merge input: the bucket's prior committed rows (routed +
     quarantine), restricted to the raw exchange columns so the merge re-runs
     the same derive path as a clean run."""
+    import glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tables = []
     for kind in ("routed", "quarantine"):
-        p = os.path.join(out_dir, kind, f"bucket={bucket:05d}.parquet")
-        if os.path.exists(p):
+        # fat buckets are written as bucket=NNNNN.SSS slice parts
+        for p in sorted(glob.glob(
+            os.path.join(out_dir, kind, f"bucket={bucket:05d}*.parquet")
+        )):
             t = pq.read_table(p)
             tables.append(t.select([c for c in raw_cols if c in t.column_names]))
     if not tables:

@@ -1,0 +1,128 @@
+"""Hot-sink (giant key) handling: one conversation holding a large share of
+all rows is range-partitioned by turn_idx at spill time and gated
+hierarchically (pass A scan → global first-gap → pass B emit), so it never
+wall-bounds phase 2.  Cross-validated against the standard single-task path
+(hot detection disabled) on identical input.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from log_aggregator_ray.fixtures import generator as gen
+from log_aggregator_ray.pipelines import flagship
+from log_aggregator_ray.state import manifest as mf
+
+HOT_N = 5000
+GAP_AT = 700  # inside turn-block 1 for turn_block=512
+
+
+def _hot_rows(schema, n, skip=()):
+    idx = [i for i in range(n) if i not in skip]
+    cols = {
+        "conv_id": ["conv-hot"] * len(idx),
+        "turn_idx": idx,
+        "role": ["user" if i % 2 == 0 else "assistant" for i in idx],
+        "text": [f"event=msg hot payload {i}" for i in idx],
+        "tool": [""] * len(idx),
+        "ts": pd.to_datetime(np.array(idx) * 1000, unit="ms"),
+    }
+    t = pa.table({f.name: pa.array(cols[f.name]) for f in schema})
+    return t.cast(schema)
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(tmp_path_factory):
+    base = tmp_path_factory.mktemp("hotc")
+    t, _ = gen.generate_transcripts(n_convs=30, seed=5)
+    t, _ = gen.with_gaps(t, None, frac_convs=0.1)
+    hot = _hot_rows(t.schema, HOT_N, skip={GAP_AT})
+    # re-deliver some hot rows (exact duplicates, dedup must drop them)
+    rng = np.random.default_rng(9)
+    dup = hot.take(pa.array(np.sort(rng.choice(hot.num_rows, 50, replace=False))))
+    full = pa.concat_tables([t, hot, dup])
+    perm = np.random.default_rng(1).permutation(full.num_rows)
+    full = full.take(pa.array(perm))
+    d = str(base / "corpus")
+    os.makedirs(d)
+    pq.write_table(full, os.path.join(d, "part-000.parquet"))
+    return d, t.schema
+
+
+def _df(out_dir, kind):
+    t = pads.dataset(os.path.join(out_dir, kind), format="parquet").to_table()
+    df = t.to_pandas()
+    sort = [c for c in ["sink", "turn_idx", "conv_id"] if c in df.columns]
+    return df.sort_values(sort).reset_index(drop=True)
+
+
+def _run(corpus, out, **kw):
+    return flagship.run_flagship(
+        corpus, out, num_buckets=8,
+        hot_sink_rows=kw.pop("hot_sink_rows", 1000),
+        turn_block=kw.pop("turn_block", 512), **kw,
+    )
+
+
+def test_hot_path_matches_standard_path(hot_corpus, tmp_path):
+    corpus, _schema = hot_corpus
+    hot_out = str(tmp_path / "hot")
+    ref_out = str(tmp_path / "ref")
+
+    r = _run(corpus, hot_out)
+    # the hot sink got a pseudo-bucket beyond the hash range, with slices
+    hot_buckets = [b for b in mf.committed_buckets(hot_out) if b >= 8]
+    assert hot_buckets == [8]
+    slices = [
+        f for f in os.listdir(os.path.join(hot_out, "routed"))
+        if f.startswith("bucket=00008.")
+    ]
+    assert len(slices) > 3  # block-parallel output
+
+    # reference: identical input through the standard (single-task) path
+    r2 = flagship.run_flagship(corpus, ref_out, num_buckets=8,
+                               hot_sink_rows=1 << 40)
+    for k in ("rows_in", "routed", "quarantined", "dup_dropped", "n_sinks"):
+        assert r[k] == r2[k], k
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(hot_out, kind), _df(ref_out, kind))
+
+    # the gate held the hot sink at its gap
+    quar = _df(hot_out, "quarantine")
+    hotq = quar[quar["conv_id"] == "conv-hot"]
+    assert len(hotq) == HOT_N - 1 - GAP_AT
+    assert (hotq["first_missing_turn"] == GAP_AT).all()
+
+
+def test_hot_incremental_gap_fill(hot_corpus, tmp_path):
+    corpus, schema = hot_corpus
+    import shutil
+
+    d = str(tmp_path / "corpus")
+    shutil.copytree(corpus, d)
+    out = str(tmp_path / "out")
+    _run(d, out)
+
+    # the missing hot turn arrives in a later part → whole sink promotes
+    filler = _hot_rows(schema, GAP_AT + 1, skip=set(range(GAP_AT)))
+    pq.write_table(filler, os.path.join(d, "part-001.parquet"))
+    r = _run(d, out)
+    assert r["incremental"] is True
+
+    clean = str(tmp_path / "clean")
+    cd = str(tmp_path / "clean_corpus")
+    os.makedirs(cd)
+    for p in sorted(os.listdir(d)):
+        shutil.copy(os.path.join(d, p), os.path.join(cd, p))
+    rc = _run(cd, clean)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(out, kind), _df(clean, kind))
+    for k in ("rows_in", "routed", "quarantined", "dup_dropped", "n_sinks"):
+        assert r[k] == rc[k], k
+    # hot sink fully routed now
+    assert "conv-hot" not in set(_df(out, "quarantine")["conv_id"])
