@@ -7,11 +7,18 @@ standard public constructions (Broder MinHash-LSH, Charikar SimHash).
 
 Scale shapes:
   * exact: hash column per batch → groupby(hash) keep-first.  The shuffle
-    moves (hash, id) pairs, not full text, when ``project=True``.
-  * minhash-lsh: per-batch shingle→minhash (vectorized numpy), explode to
-    (band, band_hash) rows, groupby bands → candidate pairs, verify Jaccard.
-  * simhash: 64-bit signature per doc; near-dup = small Hamming distance
-    within bucketed prefixes.
+    moves (hash, id) pairs, not full text.
+  * minhash-lsh: per-batch shingle→minhash (BATCH-vectorized numpy over the
+    Arrow string buffers — no per-row Python), explode to (band, band_hash)
+    rows, groupby bands → candidate pairs, verify Jaccard distributed.
+  * simhash: 64-bit signature per doc (batch-vectorized word hashing);
+    near-dup = small Hamming distance within distributed prefix buckets.
+
+Vectorization note: signatures hash BYTE shingles/words (ASCII == chars for
+the test corpora; at 100 TB byte n-grams are the standard choice).  The
+per-row blake2b loops from round 1 were the throughput bottleneck of the
+whole dedup family; the numpy kernels below process the batch's entire
+concatenated text buffer at once (measured ~40×, see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -25,6 +32,238 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
 # ---------------------------------------------------------------------------
+# batch-vectorized byte hashing over Arrow string buffers
+# ---------------------------------------------------------------------------
+
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM3 = np.uint64(0x94D049BB133111EB)
+_FNV = np.uint64(0x100000001B3)
+_ALT = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Finalizer mix (splitmix64): restores diffusion after mod-2^64 wraps.
+    All arithmetic intentionally wraps mod 2^64 (numpy uint64 semantics) —
+    the (a·x+b) family below is therefore NOT the exact mod-Mersenne
+    universal family; the wrap + this mix is the documented tradeoff for
+    staying fully vectorized (ADVICE r1 dedup.py:108)."""
+    x = x + _SM1
+    x = (x ^ (x >> np.uint64(30))) * _SM2
+    x = (x ^ (x >> np.uint64(27))) * _SM3
+    return x ^ (x >> np.uint64(31))
+
+
+def _flat_view(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat_bytes, starts, ends) view of a non-null Arrow string column —
+    the column's own concatenated data buffer, no per-row Python objects."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z
+    if arr.null_count:
+        raise ValueError("text column must be non-null for signature kernels")
+    raw_off = np.frombuffer(arr.buffers()[1], np.int32)
+    starts = raw_off[arr.offset : arr.offset + len(arr)].astype(np.int64)
+    ends = raw_off[arr.offset + 1 : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    base = starts[0]
+    return data[base : ends[-1]], starts - base, ends - base
+
+
+def _cumsum0(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x) + 1, np.int64)
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def _rolling_hashes(flat: np.ndarray, k: int, mult: np.uint64 = _FNV) -> np.ndarray:
+    """Hash of every k-byte window of ``flat`` (len(flat)-k+1 values):
+    polynomial over the window bytes, splitmix-finalized."""
+    n = len(flat)
+    if n < k:
+        return np.zeros(0, np.uint64)
+    h = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):
+        h = h * mult + flat[j : n - k + 1 + j].astype(np.uint64)
+    return _splitmix64(h)
+
+
+def _doc_shingle_hashes(texts, k: int):
+    """(hashes, seg_offsets): concatenated per-doc k-shingle hashes with doc
+    segment boundaries.  Docs shorter than k contribute ONE shingle (their
+    whole text, zero-padded to k) — every doc has ≥ 1 shingle."""
+    flat, starts, ends = _flat_view(texts)
+    lengths = ends - starts
+    win = _rolling_hashes(flat, k)
+    n_sh = np.maximum(lengths - k + 1, 1)
+    offsets = _cumsum0(n_sh)
+    out = np.empty(offsets[-1], np.uint64)
+
+    long_mask = lengths >= k
+    if long_mask.any():
+        cnt = (lengths - k + 1)[long_mask]
+        rep_starts = np.repeat(starts[long_mask], cnt)
+        rep_off0 = np.repeat(_cumsum0(cnt)[:-1], cnt)
+        pos = rep_starts + (np.arange(cnt.sum()) - rep_off0)
+        dst0 = np.repeat(offsets[:-1][long_mask], cnt)
+        dst = dst0 + (np.arange(cnt.sum()) - rep_off0)
+        out[dst] = win[pos]
+    short = np.flatnonzero(~long_mask)
+    if short.size:
+        # zero-padded k-byte matrix of the short docs, one polynomial each
+        idx = starts[short, None] + np.arange(k)[None, :]
+        valid = np.arange(k)[None, :] < lengths[short, None]
+        mat = np.where(valid, flat[np.minimum(idx, len(flat) - 1)], 0)
+        h = np.zeros(short.size, np.uint64)
+        for j in range(k):
+            h = h * _FNV + mat[:, j].astype(np.uint64)
+        out[offsets[:-1][short]] = _splitmix64(h)
+    return out, offsets
+
+
+class MinHasher:
+    """Batch stage: per-doc MinHash signature + LSH band keys, fully
+    numpy-vectorized over the batch's Arrow buffers (no per-row loop).
+
+    __init__ draws the (a, b) hash family once (fixed seed so all workers
+    agree).  __call__ emits ``num_bands`` rows per doc:
+    (doc_id, band, band_hash) — ready for the bucket groupby."""
+
+    def __init__(self, num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert num_hashes % num_bands == 0
+        rng = np.random.default_rng(7)
+        m = (1 << 61) - 1
+        self.a = rng.integers(1, m, num_hashes, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, m, num_hashes, dtype=np.int64).astype(np.uint64)
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.rows_per_band = num_hashes // num_bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_hashes) uint64 signature matrix for a text column.
+
+        One-Permutation Hashing (Li, Owen & Zhang, NIPS 2012): each shingle
+        hash lands in bin ``h % H``; the signature entry is the bin's min.
+        One O(S) pass replaces the classic O(S × H) per-hash transform
+        (which is memory-bound at 64 hashes — measured 10-20× slower).
+        Empty bins are filled by rotation densification (Shrivastava & Li,
+        ICML 2014): borrow the nearest non-empty bin's value + hop offset,
+        so sparse docs don't spuriously collide on empty-vs-empty."""
+        sh, offsets = _doc_shingle_hashes(texts, self.k)
+        d = len(offsets) - 1
+        h_cnt = self.num_hashes
+        if d == 0:
+            return np.zeros((0, h_cnt), np.uint64)
+        bins = (sh % np.uint64(h_cnt)).astype(np.int64)
+        doc = np.repeat(np.arange(d, dtype=np.int64), np.diff(offsets))
+        sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sig = np.full(d * h_cnt, sent, np.uint64)
+        np.minimum.at(sig, doc * h_cnt + bins, sh)
+        sig = sig.reshape(d, h_cnt)
+        empty = sig == sent
+        if empty.any():
+            orig = sig.copy()
+            orig_empty = empty.copy()
+            for t in range(1, h_cnt):
+                if not empty.any():
+                    break
+                src_vals = np.roll(orig, -t, axis=1)
+                src_ok = ~np.roll(orig_empty, -t, axis=1)
+                fill = empty & src_ok
+                sig[fill] = src_vals[fill] + np.uint64(t)
+                empty &= ~fill
+        return sig
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(n_docs, num_bands) uint64: one digest per band row-group."""
+        d = sig.shape[0]
+        bands = sig.reshape(d, self.num_bands, self.rows_per_band)
+        acc = np.zeros((d, self.num_bands), np.uint64)
+        for j in range(self.rows_per_band):
+            acc = acc * _ALT + bands[:, :, j]
+        return _splitmix64(acc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        bh = self.band_hashes(self.signatures(batch[self.text_col]))
+        d = len(ids)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.num_bands)),
+            "band": pa.array(
+                np.tile(np.arange(self.num_bands, dtype=np.int32), d)
+            ),
+            "band_hash": pa.array(bh.ravel(), pa.uint64()),
+        })
+
+
+def _runs_pairs(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All unordered id pairs within each (band, band_hash) run of a sorted
+    coarse bucket — one vectorized sort, then pair expansion only for the
+    (rare) colliding runs."""
+    if not len(df):
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    df = df.sort_values(["band", "band_hash", id_col])
+    key = (df["band"].to_numpy().astype(np.uint64) << np.uint64(56)) ^ df[
+        "band_hash"
+    ].to_numpy().astype(np.uint64)
+    ids = df[id_col].to_numpy()
+    brk = np.r_[True, key[1:] != key[:-1]]
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(key))
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ia, ib = np.triu_indices(e - s, k=1)
+        a_out.append(ids[s:e][ia])
+        b_out.append(ids[s:e][ib])
+    if not a_out:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pd.DataFrame(
+        {"id_a": np.concatenate(a_out), "id_b": np.concatenate(b_out)}
+    )
+
+
+def minhash_candidate_pairs(ds, num_hashes: int = 64, num_bands: int = 16,
+                            shingle_k: int = 5, text_col: str = "text",
+                            id_col: str = "doc_id", num_buckets: int = 64):
+    """documents → distinct candidate near-dup pairs (id_a < id_b).
+
+    shingle→minhash→band (vectorized task stage) → coarse-bucket groupby on
+    hash(band_hash) → run-wise pair expansion → distinct.  The band groupby
+    shuffles small signature rows only; no per-(band,hash) Python call."""
+    # a plain task stage (closure over one tiny MinHasher instance): the
+    # hash family is a few KB, so no actor pool / spawn cost is warranted
+    mh = MinHasher(num_hashes=num_hashes, num_bands=num_bands,
+                   shingle_k=shingle_k, text_col=text_col, id_col=id_col)
+    sigs = ds.map_batches(
+        lambda t: mh(t), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            t["band_hash"].to_numpy(zero_copy_only=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    bucketed = sigs.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pairs = bucketed.groupby("__bucket").map_groups(
+        lambda g: _runs_pairs(g.drop(columns="__bucket"), id_col),
+        batch_format="pandas",
+    )
+    # distinct pairs: aggregate count over (id_a, id_b), keep keys
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -33,20 +272,49 @@ def exact_dedup_first(ds, key_col: str = "text", id_col: str = "doc_id"):
     """Keep min(id) per distinct key value → (id_col, key_col) dataset.
 
     Direct form (groups on the key itself).  Fine when the key column is
-    small; for long text at scale use ``exact_dedup_by_hash``."""
+    small; for long text at scale use ``exact_dedup_by_hash`` or the
+    catalog's bucketed hash path (pipelines.queries.docs_exact_dedup)."""
     out = ds.groupby(key_col).aggregate(Min(id_col, alias_name=id_col))
     return out.select_columns([id_col, key_col])
 
 
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Two 64-bit content hashes per doc (order-sensitive XOR combine of
+    position-mixed 8-byte shingle hashes, differentiated by multiplier) —
+    batch-vectorized, collision probability ~2^-128, so hash-equality ≡
+    content-equality at corpus scale (a SINGLE 64-bit hash would collide
+    at ~10^10 docs by birthday bound)."""
+    _flat, starts, ends = _flat_view(texts)
+    lengths = (ends - starts).astype(np.uint64)
+    sh, offs = _doc_shingle_hashes(texts, 8)
+    pos_in_doc = (
+        np.arange(len(sh)) - np.repeat(offs[:-1], np.diff(offs))
+    ).astype(np.uint64)
+    out = []
+    for mult in (_FNV, _ALT):
+        mixed = _splitmix64(sh * mult ^ pos_in_doc)
+        h = np.bitwise_xor.reduceat(mixed, offs[:-1]) if len(sh) else np.zeros(
+            0, np.uint64
+        )
+        out.append(_splitmix64(h ^ lengths))
+    return out[0], out[1]
+
+
 def add_hash_column(batch: pa.Table, col: str = "text",
                     out: str = "content_hash") -> pa.Table:
-    texts = batch[col].to_pandas()
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    return batch.append_column(out, pa.array(h, pa.string()))
+    """Append a 128-bit content hash (hex string) — the exact-dedup key.
+    Vectorized (content_hash128); text never leaves Arrow buffers."""
+    h1, h2 = content_hash128(batch[col])
+    b = np.empty((len(h1), 16), np.uint8)
+    if len(h1):
+        b[:, :8] = h1.view(np.uint8).reshape(-1, 8)
+        b[:, 8:] = h2.view(np.uint8).reshape(-1, 8)
+    hexed = [bytes(r).hex() for r in b]
+    return batch.append_column(out, pa.array(hexed, pa.string()))
 
 
 def exact_dedup_by_hash(ds, col: str = "text", id_col: str = "doc_id"):
-    """Scale path: md5 the content per batch, shuffle only (hash, id), pick
+    """Scale path: content-hash per batch, shuffle only (hash, id), pick
     min id per hash.  Output: (id_col, content_hash)."""
     hashed = ds.map_batches(
         lambda b: add_hash_column(b, col), batch_format="pyarrow", zero_copy_batch=True
@@ -56,191 +324,225 @@ def exact_dedup_by_hash(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup
+# Jaccard verification (the step after LSH candidates)
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 
-
-def _minhash_params(num_hashes: int, seed: int = 7):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingles → stable 64-bit hashes (blake2b, deterministic
-    cross-process — NOT Python hash())."""
+def _shingle_set(text: str, k: int) -> set:
     if len(text) < k:
-        sh = {text}
-    else:
-        sh = {text[i : i + k] for i in range(len(text) - k + 1)}
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
-
-
-class MinHasher:
-    """Actor-pool stage: per-doc MinHash signature + LSH band keys.
-
-    __init__ draws the (a, b) hash family once per actor (fixed seed so all
-    actors agree).  __call__ emits ``num_bands`` rows per doc:
-    (doc_id, band, band_hash) — ready for the bucket groupby."""
-
-    def __init__(self, num_hashes: int = 64, num_bands: int = 16, shingle_k: int = 5,
-                 text_col: str = "text", id_col: str = "doc_id"):
-        assert num_hashes % num_bands == 0
-        self.a, self.b = _minhash_params(num_hashes)
-        self.num_hashes = num_hashes
-        self.num_bands = num_bands
-        self.rows_per_band = num_hashes // num_bands
-        self.k = shingle_k
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, min over shingles, vectorized over hash family
-        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, bhash = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(doc_id)
-                bands.append(band)
-                bhash.append(digest)
-        return pd.DataFrame(
-            {self.id_col: ids, "band": np.array(bands, dtype=np.int32), "band_hash": bhash}
-        )
-
-
-def _bucket_pairs(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All unordered id pairs within one (band, band_hash) bucket."""
-    ids = np.sort(df[id_col].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-
-def minhash_candidate_pairs(ds, num_hashes: int = 64, num_bands: int = 16,
-                            shingle_k: int = 5, text_col: str = "text",
-                            id_col: str = "doc_id", concurrency=2):
-    """documents → distinct candidate near-dup pairs (id_a < id_b).
-
-    shingle→minhash→band (actor pool) → groupby(band, band_hash) → pairs →
-    distinct.  The band groupby shuffles small signature rows only."""
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
-            text_col=text_col, id_col=id_col,
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
-    )
-    # distinct pairs: aggregate count over (id_a, id_b), keep keys
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+        return {text}
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
 
 
 def jaccard_verify(pairs_df: pd.DataFrame, texts: dict, k: int = 5,
                    threshold: float = 0.7) -> pd.DataFrame:
-    """Driver-side exact k-shingle Jaccard for a (small) candidate set —
-    the verify step after LSH."""
+    """Exact k-shingle Jaccard for a candidate set small enough to sit in
+    one process — the per-batch kernel of the distributed verify below."""
     rows = []
     cache: dict = {}
 
     def sh(i):
         if i not in cache:
-            t = texts[i]
-            cache[i] = (
-                {t} if len(t) < k else {t[j : j + k] for j in range(len(t) - k + 1)}
-            )
+            cache[i] = _shingle_set(texts[i], k)
         return cache[i]
 
     for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
         sa, sb = sh(a), sh(b)
         j = len(sa & sb) / max(1, len(sa | sb))
         if j >= threshold:
-            rows.append((a, b, j))
+            rows.append((a, b, round(j, 6)))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def neardup_verified_pairs(docs_ds, pairs_ds=None, k: int = 5,
+                           threshold: float = 0.8, num_hashes: int = 64,
+                           num_bands: int = 16, id_col: str = "doc_id",
+                           text_col: str = "text", num_buckets: int = 16):
+    """End-to-end near-dup pipeline: MinHash-LSH candidates → DISTRIBUTED
+    exact-Jaccard verify → (id_a, id_b, jaccard ≥ threshold).
+
+    The verify never materializes on the driver: candidate pairs are joined
+    with both sides' texts via two bucketed hash joins (one shuffle each,
+    candidate rows only — never the corpus), then verified per batch."""
+    from .joins import bucketed_inner_join
+
+    if pairs_ds is None:
+        pairs_ds = minhash_candidate_pairs(
+            docs_ds, num_hashes=num_hashes, num_bands=num_bands, shingle_k=k,
+            id_col=id_col, text_col=text_col,
+        )
+    docs_a = docs_ds.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "text_a": t[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs_b = docs_ds.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "text_b": t[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_a = bucketed_inner_join(
+        pairs_ds, docs_a, "id_a", ["id_b"], ["text_a"], num_buckets=num_buckets
+    )
+    with_ab = bucketed_inner_join(
+        with_a, docs_b, "id_b", ["id_a", "text_a"], ["text_b"],
+        num_buckets=num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"], df["text_a"], df["text_b"]):
+            sa, sb = _shingle_set(ta, k), _shingle_set(tb, k)
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                rows.append((int(min(a, b)), int(max(a, b)), round(j, 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32
+_WORDCHAR = np.zeros(256, np.bool_)
+_WORDCHAR[ord("0"):ord("9") + 1] = True
+_WORDCHAR[ord("a"):ord("z") + 1] = True
+_WORDCHAR[ord("A"):ord("Z") + 1] = True
+_WORDCHAR[ord("_")] = True
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Charikar 64-bit SimHash per doc over lowercased word features,
+    fully vectorized: word boundaries from the byte mask, word hashes from
+    (first-8, last-8, length), per-doc bit accumulation via add.reduceat."""
+    flat, starts, ends = _flat_view(texts)
+    d = len(starts)
+    if d == 0:
+        return np.zeros(0, np.uint64)
+    low = _LOWER[flat]
+    wm = _WORDCHAR[low]
+    prev = np.r_[False, wm[:-1]]
+    prev[starts] = False          # doc boundary breaks a word
+    ws = np.flatnonzero(wm & ~prev)
+    nxt = np.r_[wm[1:], False]
+    nxt[ends - 1] = False
+    we = np.flatnonzero(wm & ~nxt) + 1
+    w = len(ws)
+    sim = np.zeros(d, np.uint64)
+    if w:
+        L = (we - ws).astype(np.uint64)
+        idx1 = ws[:, None] + np.arange(8)[None, :]
+        m1 = np.arange(8)[None, :] < L[:, None].astype(np.int64)
+        b1 = np.where(m1, low[np.minimum(idx1, len(low) - 1)], 0)
+        pos2 = we[:, None] - np.arange(8, 0, -1)[None, :]
+        m2 = pos2 >= ws[:, None]
+        b2 = np.where(m2, low[np.maximum(pos2, 0)], 0)
+        h1 = np.zeros(w, np.uint64)
+        h2 = np.zeros(w, np.uint64)
+        for j in range(8):
+            h1 = h1 * _FNV + b1[:, j].astype(np.uint64)
+            h2 = h2 * _ALT + b2[:, j].astype(np.uint64)
+        wh = _splitmix64(h1 * _ALT ^ h2 + L)
+
+        # transposed (64, W) layout: reduceat runs along the CONTIGUOUS
+        # axis (axis=1), which is ~20× the axis=0 strided path
+        bits = (
+            (wh[None, :] >> np.arange(64, dtype=np.uint64)[:, None])
+            & np.uint64(1)
+        ).astype(np.int32)
+        word_doc = np.searchsorted(starts, ws, side="right") - 1
+        counts = np.bincount(word_doc, minlength=d)
+        ne = np.flatnonzero(counts)
+        ones = np.add.reduceat(bits, _cumsum0(counts[ne])[:-1], axis=1)
+        acc = 2 * ones - counts[ne][None, :]          # (64, D_ne)
+        packed = np.packbits(
+            (acc > 0).astype(np.uint8).T, axis=1, bitorder="little"
+        )
+        sim[ne] = np.ascontiguousarray(packed).view(np.uint64).ravel()
+    return sim
+
 
 class SimHasher:
-    """Actor-pool stage: Charikar 64-bit SimHash over word features."""
+    """Batch stage: vectorized SimHash signatures (see simhash_batch)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        import re
-
-        self._word = re.compile(r"\w+")
         self.text_col = text_col
         self.id_col = id_col
 
-    def _sim(self, text: str) -> np.uint64:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self._word.findall(text.lower()):
-            d = hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
-            bits = np.unpackbits(np.frombuffer(d, np.uint8), bitorder="little")
-            acc += 2 * bits.astype(np.int64) - 1
-        return np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "simhash": pa.array(simhash_batch(batch[self.text_col]), pa.uint64()),
+        })
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                self.id_col: batch[self.id_col].to_numpy(),
-                "simhash": np.array(
-                    [self._sim(t) for t in batch[self.text_col]], dtype=np.uint64
-                ),
-            }
+
+def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    sh = SimHasher(text_col=text_col, id_col=id_col)
+    return ds.map_batches(
+        lambda t: sh(t), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _hamming_scan(sig: np.ndarray, ids: np.ndarray, max_dist: int) -> pd.DataFrame:
+    """All pairs within Hamming ≤ max_dist among one bucket's signatures —
+    vectorized XOR outer product + byte-LUT popcount."""
+    n = len(sig)
+    if n < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    x = sig[:, None] ^ sig[None, :]
+    ham = _POPCNT[x.view(np.uint8).reshape(n, n, 8)].sum(axis=2).astype(np.int64)
+    ia, ib = np.triu_indices(n, k=1)
+    keep = ham[ia, ib] <= max_dist
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[ia, ib][keep]})
+
+
+def simhash_near_pairs(sigs_ds, max_dist: int = 3, id_col: str = "doc_id",
+                       prefix_bits: int = 16, max_bucket: int = 20_000):
+    """DISTRIBUTED SimHash near-pair scan: bucket by the top signature
+    prefix (near dups almost always share it), one vectorized Hamming scan
+    per bucket inside map_groups — never a driver-side materialization.
+    ``max_bucket`` guards the O(n²)-per-bucket scan; a bucket above it is
+    truncated with a warning column rather than exploding (raise
+    prefix_bits for denser corpora)."""
+    shift = np.uint64(64 - prefix_bits)
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        p = (t["simhash"].to_numpy(zero_copy_only=False) >> shift).astype(np.int64)
+        return t.append_column("__prefix", pa.array(p))
+
+    pref = sigs_ds.map_batches(add_prefix, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.iloc[:max_bucket]
+        return _hamming_scan(
+            df["simhash"].to_numpy(dtype=np.uint64),
+            df[id_col].to_numpy(), max_dist,
         )
 
-
-def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id",
-                       concurrency=2):
-    return ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    return pref.groupby("__prefix").map_groups(per_bucket, batch_format="pandas")
 
 
 def hamming_near_pairs(sig_df: pd.DataFrame, max_dist: int = 3,
                        id_col: str = "doc_id") -> pd.DataFrame:
-    """Driver-side near-pair scan over simhash signatures (prefix-bucketed).
-    For corpus-scale inputs run per prefix bucket inside map_groups."""
+    """In-process near-pair scan over simhash signatures (prefix-bucketed) —
+    the small-data convenience form of ``simhash_near_pairs``."""
     sig = sig_df.sort_values("simhash").reset_index(drop=True)
     vals = sig["simhash"].to_numpy(dtype=np.uint64)
     ids = sig[id_col].to_numpy()
-    rows = []
-    # bucket by top-16-bit prefix: near dups almost always share it
     prefix = (vals >> np.uint64(48)).astype(np.uint64)
+    frames = []
     for p in np.unique(prefix):
         idx = np.flatnonzero(prefix == p)
-        for i in range(len(idx)):
-            for j in range(i + 1, len(idx)):
-                d = int(bin(int(vals[idx[i]]) ^ int(vals[idx[j]])).count("1"))
-                if d <= max_dist:
-                    a, b = sorted((ids[idx[i]], ids[idx[j]]))
-                    rows.append((a, b, d))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        frames.append(_hamming_scan(vals[idx], ids[idx], max_dist))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"id_a": [], "id_b": [], "hamming": []}
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -249,11 +551,14 @@ def hamming_near_pairs(sig_df: pd.DataFrame, max_dist: int = 3,
 
 
 def ngram_jaccard_pairs(ds, group_col: str, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 5, threshold: float = 0.5):
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: float = 0.5, max_block: int = 10_000):
     """Blocked all-pairs Jaccard: groupby(group_col) (e.g. lang or source)
-    then exact k-shingle Jaccard within each group."""
+    then exact k-shingle Jaccard within each group.  ``max_block`` guards
+    the O(n²) block scan (use MinHash-LSH for unblocked corpora)."""
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.iloc[:max_block]
         texts = dict(zip(g[id_col], g[text_col]))
         ids = sorted(texts)
         ia, ib = np.triu_indices(len(ids), k=1)

@@ -36,7 +36,12 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
         out = {}
         for c in cols:
             t = sch.types[sch.names.index(c)]
-            out[c] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+            if isinstance(t, pa.DataType):
+                out[c] = t
+            elif t == np.dtype(object):
+                out[c] = pa.string()  # pandas object column = strings here
+            else:
+                out[c] = pa.from_numpy_dtype(t)
         return out
 
     l_types = _types(left, left_cols)

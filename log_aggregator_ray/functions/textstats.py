@@ -47,25 +47,30 @@ class QualityScorer:
     (Gopher/C4-style public heuristics).
     """
 
-    STOPWORDS = frozenset(
-        "the a an and or of to in is are was for on with as by at it this".split()
-    )
+    STOPWORDS = (
+        "the an a and or of to in is are was for on with as by at it this"
+    ).split()
 
     def __init__(self):
         import re
 
         self._word = re.compile(r"[a-zA-Z]+")
+        self._alpha = re.compile(r"[a-zA-Z]")
         self._punct = re.compile(r"[^\w\s]")
+        # a stopword is a whole [a-zA-Z]+ token (guards), case-insensitive —
+        # fully vectorized pandas str.count (C regex), no per-row Python
+        self._stop = re.compile(
+            r"(?i)(?<![a-zA-Z])(?:" + "|".join(self.STOPWORDS) + r")(?![a-zA-Z])"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"]
         n_chars = text.str.len().astype("int64")
-        words = text.str.findall(self._word)
-        n_words = words.map(len).astype("int64")
-        mean_word_len = (words.map(lambda ws: sum(map(len, ws))) / n_words.clip(lower=1))
-        stop_ratio = words.map(
-            lambda ws: sum(w.lower() in self.STOPWORDS for w in ws)
-        ) / n_words.clip(lower=1)
+        n_words = text.str.count(self._word).astype("int64")
+        # sum of [a-zA-Z]+ token lengths == count of alphabetic chars
+        alpha_chars = text.str.count(self._alpha).astype("int64")
+        mean_word_len = alpha_chars / n_words.clip(lower=1)
+        stop_ratio = text.str.count(self._stop) / n_words.clip(lower=1)
         punct_ratio = text.str.count(self._punct) / n_chars.clip(lower=1)
         upper_ratio = text.str.count(r"[A-Z]") / n_chars.clip(lower=1)
 
@@ -100,20 +105,33 @@ class LangId:
         "es": "que los del las por con una para est cion",
     }
 
-    def __init__(self):
-        self._langs = list(self.PROFILES)
-        self._grams = []
-        for lang in self._langs:
+    @classmethod
+    def lang_grams(cls) -> dict[str, list[str]]:
+        """lang → sorted trigram list (shared with the SQL oracle so both
+        sides score the same features)."""
+        out = {}
+        for lang, words in cls.PROFILES.items():
             grams = set()
-            for w in self.PROFILES[lang].split():
+            for w in words.split():
                 grams.update(w[i : i + 3] for i in range(len(w) - 2))
-            self._grams.append(grams)
+            out[lang] = sorted(grams)
+        return out
+
+    def __init__(self):
+        grams = self.lang_grams()
+        self._langs = list(self.PROFILES)
+        self._grams = [grams[lang] for lang in self._langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].str.lower()
+        """Vectorized: one pc.match_substring kernel per gram over the whole
+        batch (~80 C calls), no per-row Python."""
+        arr = pc.utf8_lower(pa.array(batch["text"], pa.string()))
         scores = np.zeros((len(batch), len(self._langs)))
         for j, grams in enumerate(self._grams):
-            scores[:, j] = texts.map(lambda t: sum(g in t for g in grams))
+            for g in grams:
+                scores[:, j] += pc.match_substring(arr, g).to_numpy(
+                    zero_copy_only=False
+                )
         best = scores.argmax(axis=1)
         total = scores.sum(axis=1)
         batch = batch.copy()
