@@ -121,6 +121,85 @@ def lsh_topk(ds, query_vec, k: int = 10, nbits: int = 8, col: str = "embedding",
     return brute_force_topk(pruned, q, k=k, col=col, id_col=id_col)
 
 
+def _kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Plain Lloyd k-means on a (normalized) sample — the IVF codebook.
+    Deterministic (fixed seed); numpy-only since no ML libs are present."""
+    rng = np.random.default_rng(seed)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_topk(ds, query_vec, k: int = 10, nlist: int = 16, nprobe: int = 4,
+             col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 4096, seed: int = 13):
+    """IVF-style approximate top-k: fit a small codebook on a driver-side
+    SAMPLE (bounded — never the corpus), broadcast the centroids, score
+    only rows whose nearest centroid is among the query's ``nprobe``
+    nearest lists.  The standard inverted-file recall/speed trade; the
+    scale path when hyperplane LSH's recall is too coarse."""
+    sample = ds.limit(sample_size).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).to_pandas()
+    # block arrival order is nondeterministic under the streaming executor —
+    # sort by id so the codebook fit is reproducible for a given sample set
+    sample = sample.sort_values(id_col).reset_index(drop=True)
+    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    cents = _kmeans_fit(xs, nlist, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[:nprobe]
+    cents_ref = ray.put(cents)
+    probe_set = np.sort(probe)
+
+    def filter_lists(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        m = _emb_matrix(t, col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = (m @ c.T).argmax(axis=1)
+        return t.filter(pa.array(np.isin(assign, probe_set)))
+
+    pruned = ds.map_batches(filter_lists, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return brute_force_topk(pruned, q, k=k, col=col, id_col=id_col)
+
+
+def label_centroids(ds, col: str = "embedding", label_col: str = "label",
+                    dim: int | None = None):
+    """Per-label mean embedding, long format (label, i, v) — partial sums
+    per batch (one matmul), tiny driver combine (labels × dim rows)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = _emb_matrix(t, col)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        onehot = np.zeros((len(uniq), len(lab)))
+        onehot[inv, np.arange(len(lab))] = 1.0
+        sums = onehot @ m                      # (L, d)
+        counts = np.bincount(inv)
+        d = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "i": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts, d),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby(["label", "i"], sort=True).agg(s=("s", "sum"), n=("n", "sum"))
+    out = (g["s"] / g["n"]).round(6).rename("v").reset_index()
+    return out
+
+
 def embedding_near_dup(ds, threshold: float = 0.45, block_col: str = "label",
                        col: str = "embedding", id_col: str = "vec_id"):
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``.

@@ -31,6 +31,20 @@ def add_word_count(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("word_count", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pretokenizer pattern, ASCII approximation (public shape:
+# contractions | letter runs | digit runs | punctuation runs | whitespace
+# runs).  Both pyarrow and DuckDB run RE2, so the SQL oracle counts the
+# exact same token boundaries.
+BPE_ISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+|\s+"
+
+
+def add_regex_token_count(batch: pa.Table, col: str = "text",
+                          pattern: str = BPE_ISH_PATTERN) -> pa.Table:
+    """BPE-ish token count: one vectorized RE2 kernel per batch."""
+    n = pc.count_substring_regex(batch[col], pattern)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
 def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     """md5 content fingerprint (exact-dedup key; oracle: DuckDB md5())."""
     texts = batch[col].to_pandas()

@@ -29,3 +29,11 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kwargs) -> rd.Dataset:
     """Read one driver testdata table, column-pruned."""
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+
+
+def read_transcripts_jsonl(path: str, **kwargs) -> rd.Dataset:
+    """JSON-lines transcript source (the reference's text-log ingest shape,
+    S1/S6, for corpora that arrive as raw log lines rather than parquet).
+    Downstream stages are format-agnostic — the same pipeline runs on
+    either source."""
+    return rd.read_json(path, **kwargs)

@@ -97,6 +97,55 @@ def test_lsh_topk_subset_of_exact():
     assert 7 in set(out["vec_id"])  # the query's own vector survives pruning
 
 
+def test_ivf_topk_recall():
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((400, 16)).astype(np.float32)
+    # plant a tight cluster near the query so recall is meaningful
+    m[50:60] = m[7] + rng.standard_normal((10, 16)).astype(np.float32) * 0.05
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                   pa.list_(pa.float32())),
+        }
+    )
+    exact = ann.brute_force_topk(rd.from_arrow(t), m[7], k=10).to_pandas()
+    approx = ann.ivf_topk(rd.from_arrow(t), m[7], k=10, nlist=8, nprobe=3).to_pandas()
+    assert len(approx) == 10
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8  # planted cluster lands in the probed lists
+
+
+def test_label_centroids_match_numpy():
+    rng = np.random.default_rng(4)
+    m = rng.standard_normal((90, 8)).astype(np.float32)
+    lab = rng.integers(0, 3, 90)
+    t = pa.table(
+        {
+            "label": pa.array(lab, pa.int32()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                   pa.list_(pa.float32())),
+        }
+    )
+    out = ann.label_centroids(rd.from_arrow(t))
+    for lb in range(3):
+        exp = m[lab == lb].astype(np.float64).mean(axis=0).round(6)
+        got = out[out["label"] == lb].sort_values("i")["v"].to_numpy()
+        assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_regex_token_count_matches_duckdb():
+    import duckdb
+
+    t = pa.table({"text": ["It's 42 tokens, isn't it?  yes...", "", "a-b c"]})
+    out = textstats.add_regex_token_count(t)
+    pat = textstats.BPE_ISH_PATTERN.replace("'", "''")
+    exp = [r[0] for r in duckdb.sql(
+        f"SELECT len(regexp_extract_all(text, '{pat}')) FROM t"
+    ).fetchall()]
+    assert out["n_tokens"].to_pylist() == exp
+
+
 def test_token_count_matches_duckdb_semantics():
     import duckdb
 
