@@ -99,6 +99,31 @@ def test_hot_path_matches_standard_path(hot_corpus, tmp_path):
     assert (hotq["first_missing_turn"] == GAP_AT).all()
 
 
+def test_two_hot_sinks(tmp_path):
+    """Multiple giant keys: each gets its own pseudo-bucket and gates
+    independently."""
+    t, _ = gen.generate_transcripts(n_convs=15, seed=4)
+    hot1 = _hot_rows(t.schema, 3000, skip={GAP_AT})
+    hot2 = pa.table({
+        f.name: hot1[f.name] if f.name != "conv_id"
+        else pa.array(["conv-hot2"] * hot1.num_rows)
+        for f in t.schema
+    }).cast(t.schema)  # same turns, different sink, same gap
+    full = pa.concat_tables([t, hot1, hot2])
+    full = full.take(pa.array(np.random.default_rng(2).permutation(full.num_rows)))
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(full, os.path.join(d, "part-000.parquet"))
+
+    out = str(tmp_path / "hot")
+    ref = str(tmp_path / "ref")
+    _run(d, out)
+    assert sorted(b for b in mf.committed_buckets(out) if b >= 8) == [8, 9]
+    flagship.run_flagship(d, ref, num_buckets=8, hot_sink_rows=1 << 40)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(out, kind), _df(ref, kind))
+
+
 def test_hot_incremental_gap_fill(hot_corpus, tmp_path):
     corpus, schema = hot_corpus
     import shutil
