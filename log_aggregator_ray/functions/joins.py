@@ -21,15 +21,40 @@ import pyarrow as pa
 
 
 def bucketed_inner_join(left, right, key: str, left_cols: list[str],
-                        right_cols: list[str], num_buckets: int = 32):
+                        right_cols: list[str], num_buckets: int = 32,
+                        hot_keys: list[int] | None = None, salt: int = 8):
     """Inner join two Datasets on an integer key column.
 
     ``left_cols`` / ``right_cols``: columns carried from each side (the key
     is implied and appears once in the output).  Output columns:
     ``[key] + left_cols + right_cols``.
+
+    ``hot_keys``: skew salting for pathologically frequent join keys.  A
+    hot key's LEFT (probe) rows are sprayed across ``salt`` sub-buckets
+    beyond the hash range, and its RIGHT (build) rows are REPLICATED into
+    each — the standard salted-join recipe: the straggler bucket becomes
+    ``salt`` balanced tasks at the cost of duplicating only the hot build
+    rows.  Detect candidates with ``stages.skew.detect_hot_sinks``-style
+    partial counts or a sample.
     """
     left_cols = [c for c in left_cols if c != key]
     right_cols = [c for c in right_cols if c != key]
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64)) if hot_keys else None
+
+    def _bucket_of(k: np.ndarray, side: int, n: int) -> np.ndarray:
+        b = (k % num_buckets).astype(np.int32)
+        if hot is None:
+            return b
+        idx = np.searchsorted(hot, k)
+        idx_c = np.minimum(idx, len(hot) - 1)
+        is_hot = hot[idx_c] == k
+        if side == 0:
+            # probe rows: deterministic spray over the key's salt range
+            spray = (np.arange(n) % salt).astype(np.int32)
+            return np.where(
+                is_hot, num_buckets + idx_c * salt + spray, b
+            ).astype(np.int32)
+        return np.where(is_hot, num_buckets + idx_c * salt, b).astype(np.int32)
 
     def _types(ds, cols):
         sch = ds.schema()  # ray Schema: .names + .types (pa or numpy dtypes)
@@ -56,8 +81,24 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
             for c in union_cols[1:]:
                 out[c] = t[c] if c in own else pa.nulls(n, other_types[c])
             out["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            out["bucket"] = pa.array((k % num_buckets).astype(np.int32))
-            return pa.table(out)
+            bucket = _bucket_of(k, side, n)
+            out["bucket"] = pa.array(bucket)
+            tbl = pa.table(out)
+            if side == 1 and hot is not None:
+                # replicate build rows of hot keys into every salt bucket
+                hot_mask = np.isin(k, hot)
+                if hot_mask.any():
+                    base = tbl.filter(pa.array(hot_mask))
+                    bb = bucket[hot_mask]
+                    i = tbl.column_names.index("bucket")
+                    copies = [
+                        base.set_column(
+                            i, "bucket", pa.array((bb + s).astype(np.int32))
+                        )
+                        for s in range(1, salt)
+                    ]
+                    tbl = pa.concat_tables([tbl] + copies)
+            return tbl
 
         return tag
 

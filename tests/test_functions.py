@@ -202,3 +202,27 @@ def test_bucketed_inner_join_matches_pandas():
     # nulls introduced by the union schema widen int columns to float —
     # values must match exactly, dtypes may differ
     pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
+
+
+def test_bucketed_join_salted_hot_key():
+    """Skew salting: a key holding half the probe rows is sprayed across
+    salt sub-buckets with the build row replicated — result identical."""
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 50, 5000)
+    k[: len(k) // 2] = 7  # pathologically hot key
+    left = pd.DataFrame({"k": k, "x": rng.random(5000)})
+    right = pd.DataFrame({"k": np.arange(50), "y": np.arange(50) * 10})
+    from log_aggregator_ray.functions.joins import bucketed_inner_join
+    import ray.data as rd
+
+    got = (
+        bucketed_inner_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", ["x"], ["y"],
+            num_buckets=8, hot_keys=[7], salt=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)

@@ -125,6 +125,40 @@ def test_changed_part_purges_stale_outputs(tmp_path):
         pd.testing.assert_frame_equal(_df(out, kind), _df(clean, kind))
 
 
+def test_incremental_session_corpus(tmp_path):
+    """Session-epoch sinks ({conv_id}.{session}) survive the merge: the
+    session column rides the committed output and re-derives the same
+    sinks when fresh rows arrive."""
+    t, _ = gen.generate_transcripts(n_convs=30, seed=13, with_session=True)
+    df = t.to_pandas()
+    sizes = df.groupby(["conv_id", "session"])["turn_idx"].max()
+    late_mask = df["turn_idx"] > df.groupby(["conv_id", "session"])[
+        "turn_idx"
+    ].transform("max") // 2
+    early = t.filter(pa.array(~late_mask.to_numpy()))
+    late = t.filter(pa.array(late_mask.to_numpy()))
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(early, os.path.join(d, "part-000.parquet"))
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+    pq.write_table(late, os.path.join(d, "part-001.parquet"))
+    r = flagship.run_flagship(d, out, num_buckets=8)
+    assert r["incremental"] is True
+
+    clean = str(tmp_path / "clean")
+    cd = str(tmp_path / "clean_corpus")
+    os.makedirs(cd)
+    pq.write_table(early, os.path.join(cd, "part-000.parquet"))
+    pq.write_table(late, os.path.join(cd, "part-001.parquet"))
+    flagship.run_flagship(cd, clean, num_buckets=8)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(out, kind), _df(clean, kind))
+    # sinks are {conv}.{session}
+    assert _df(out, "sink_counts")["sink"].str.contains(r"\.\d+$").all()
+
+
 def test_crashed_merge_replay_converges(tmp_path):
     """Replaying a merge whose manifest commit was lost converges to the
     same rows (first-wins dedup makes the merge idempotent)."""
