@@ -109,10 +109,13 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
         make_tag(1, right_cols, l_types), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pa.Table:
         l = df[df["__side"] == 0][[key] + left_cols]
         r = df[df["__side"] == 1][[key] + right_cols]
-        return l.merge(r, on=key, how="inner")
+        out = l.merge(r, on=key, how="inner")
+        # plain Arrow out: pandas schema metadata (a dict) breaks Ray's
+        # block-schema hashing and spams reduce-stage warnings
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         l_tagged.union(r_tagged)

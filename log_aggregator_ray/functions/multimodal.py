@@ -96,6 +96,61 @@ def featurize_media(ds, concurrency=2, batch_size: int = 128, num_cpus: float = 
     )
 
 
+class ImageResizer:
+    """Actor-pool stage: aspect-preserving image resize plumbing.
+
+    The GEOMETRY math (fit within max_side × max_side, never upscale) is
+    real; the pixel resample is the stub (payload re-hashed to a size
+    proportional to the new pixel count) — swap ``_decode_stub`` +
+    re-encode for PIL when available.  Exercises the byte-heavy
+    in-AND-out path: unlike featurize, the expensive column survives."""
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        nw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        nh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        payloads = batch["payload"].to_pylist()
+        out_payloads = []
+        for p, ow, oh in zip(payloads, nw, nh):
+            # stub re-encode: deterministic bytes sized ~ new pixel count
+            n = max(16, int(ow) * int(oh) // 8)
+            seed = hashlib.blake2b(p, digest_size=32).digest()
+            reps = -(-n // len(seed))
+            out_payloads.append((seed * reps)[:n])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out_payloads, pa.binary()),
+                "width": pa.array(nw, pa.int32()),
+                "height": pa.array(nh, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, max_side: int = 256, concurrency=2, batch_size: int = 128):
+    """Images only → resized payload + new geometry (small batches: the
+    payload column rides both directions)."""
+    import pyarrow.compute as pc
+
+    images = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["modality"], "image")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return images.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampler:
     """Actor-pool stage: sample K pseudo-frames per video row (plumbing for
     frame extraction; the frame decode itself is the stub)."""

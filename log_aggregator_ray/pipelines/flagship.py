@@ -220,6 +220,24 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
     return process_bucket
 
 
+def combine_gate(infos: list[dict]) -> int | None:
+    """Hierarchical contiguity combine: walk per-block (mn, mx,
+    first_missing) summaries in turn order → the sink's global first
+    missing turn, or None when fully contiguous.  Pure function
+    (property-tested against the whole-key kernel in test_property)."""
+    G = None
+    prev_max = None
+    for inf in infos:
+        if prev_max is not None and inf["mn"] != prev_max + 1:
+            G = prev_max + 1
+            break
+        if inf["first_missing"] is not None:
+            G = inf["first_missing"]
+            break
+        prev_max = inf["mx"]
+    return G
+
+
 def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
                        gen: str | None = None):
     """Phase-2 pipeline for a hot-sink pseudo-bucket: block-parallel
@@ -389,22 +407,7 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
                     groups.setdefault(int(m.group(1)), []).append(p)
             return groups
 
-        @staticmethod
-        def combine_gate(infos: list[dict]) -> int | None:
-            """Hierarchical contiguity: walk per-block (min, max, first
-            internal gap) in turn order → the sink's global first missing
-            turn, or None when fully contiguous."""
-            G = None
-            prev_max = None
-            for inf in infos:
-                if prev_max is not None and inf["mn"] != prev_max + 1:
-                    G = prev_max + 1
-                    break
-                if inf["first_missing"] is not None:
-                    G = inf["first_missing"]
-                    break
-                prev_max = inf["mx"]
-            return G
+        combine_gate = staticmethod(combine_gate)
 
     return HotPipeline()
 

@@ -182,6 +182,18 @@ def test_multimodal_plumbing():
     n_videos = (media["modality"].to_pandas() == "video").sum()
     assert len(frames) == 3 * n_videos
 
+    resized = multimodal.resize_images(ds, max_side=64).to_pandas()
+    n_images = (media["modality"].to_pandas() == "image").sum()
+    assert len(resized) == n_images
+    assert (resized[["width", "height"]].max(axis=1) <= 64).all()
+    # aspect preserved within rounding; payload sized to new geometry
+    src = media.to_pandas().set_index("media_id")
+    for _, r in resized.head(5).iterrows():
+        ow, oh = src.loc[r["media_id"], ["width", "height"]]
+        if max(ow, oh) > 64:
+            assert abs(r["width"] / r["height"] - ow / oh) < 0.2
+        assert len(r["payload"]) >= 16
+
 
 def test_bucketed_inner_join_matches_pandas():
     from log_aggregator_ray.functions.joins import bucketed_inner_join
