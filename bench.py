@@ -213,8 +213,28 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print Ray Data's per-stage execution stats for the flagship dataset
+    form (the groupby-exchange variant — the spill path is plain tasks and
+    reports via the phase/emit timings in the run report instead)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(NUM_CPUS)
+    from log_aggregator_ray.pipelines.flagship import flagship_dataset
+    from log_aggregator_ray.pipelines.queries import ensure_adv_corpus
+
+    corpus = ensure_adv_corpus(os.environ.get("GRAFT_STATS_SF",
+                                              "/root/testdata/sf0.01"))
+    ds = flagship_dataset(corpus, num_buckets=NUM_CPUS).materialize()
+    print(ds.stats())
+    import ray
+
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_benchmarks()))

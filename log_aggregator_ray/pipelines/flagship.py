@@ -853,6 +853,39 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
     return report
 
 
+def watch_and_run(input_path: str, out_dir: str, poll_sec: float = 5.0,
+                  max_iters: int | None = None, stop_after_idle: int | None = None,
+                  **run_kwargs) -> list[dict]:
+    """The reference's operating loop (datapump/.../CacheWatcher.java:25-43
+    + the decoder's poll cycle): poll the input directory; when the part
+    set changes, run the pipeline INCREMENTALLY (only new parts read,
+    affected buckets merged).  Returns the reports of the runs executed.
+
+    ``max_iters`` bounds polls (tests); ``stop_after_idle`` exits after N
+    consecutive unchanged polls (the reference idles on a 5 s sleep
+    forever — agent/.../LogAgent.java:28,96-101)."""
+    reports: list[dict] = []
+    last_gen = None
+    idle = 0
+    iters = 0
+    while True:
+        gen_now = mf.parts_gen(mf.scan_parts(input_path))
+        if gen_now != last_gen:
+            reports.append(run_flagship(input_path, out_dir, **run_kwargs))
+            last_gen = gen_now
+            idle = 0
+        else:
+            idle += 1
+        iters += 1
+        if max_iters is not None and iters >= max_iters:
+            break
+        if stop_after_idle is not None and idle >= stop_after_idle:
+            break
+        if poll_sec:
+            time.sleep(poll_sec)
+    return reports
+
+
 def read_sink_counts(out_dir: str) -> pd.DataFrame:
     """Aggregate result of a run: per-sink (n_rows, max_counter)."""
     import pyarrow.dataset as pads

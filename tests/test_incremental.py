@@ -159,6 +159,34 @@ def test_incremental_session_corpus(tmp_path):
     assert _df(out, "sink_counts")["sink"].str.contains(r"\.\d+$").all()
 
 
+def test_watch_and_run_poll_loop(tmp_path):
+    """The CacheWatcher-style poll loop: first poll runs full, a poll with
+    an appended part runs incrementally, unchanged polls do nothing."""
+    d, early, late, _ = _split_corpus(tmp_path)
+    out = str(tmp_path / "out")
+
+    polls = {"n": 0}
+    orig_scan = mf.scan_parts
+
+    def scan_and_append(path):
+        polls["n"] += 1
+        if polls["n"] == 3:  # a new part "arrives" before the 3rd poll
+            pq.write_table(late, os.path.join(d, "part-001.parquet"))
+        return orig_scan(path)
+
+    mf.scan_parts = scan_and_append
+    try:
+        reports = flagship.watch_and_run(
+            d, out, poll_sec=0, max_iters=5, num_buckets=8
+        )
+    finally:
+        mf.scan_parts = orig_scan
+    assert len(reports) == 2  # full run + one incremental run, 3 idle polls
+    assert reports[0]["incremental"] is False
+    assert reports[1]["incremental"] is True
+    assert reports[1]["rows_in"] == early.num_rows + late.num_rows
+
+
 def test_crashed_merge_replay_converges(tmp_path):
     """Replaying a merge whose manifest commit was lost converges to the
     same rows (first-wins dedup makes the merge idempotent)."""
