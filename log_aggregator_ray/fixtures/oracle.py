@@ -11,7 +11,6 @@ in the pipeline itself.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

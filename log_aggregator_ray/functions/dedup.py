@@ -23,7 +23,7 @@ concatenated text buffer at once (measured ~40×, see BASELINE.md).
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pandas as pd

@@ -94,7 +94,6 @@ def flagship_stages(num_buckets: int = 64) -> list[Stage]:
     from ..stages.enrich import enrich_table
     from ..stages.parse import parse_batch
     from ..stages.reassemble import reassemble_table
-    from ..stages.route import add_sink_and_bucket
 
     def add_keys(t):
         # reuse the routing stage's batch kernel via a tiny shim dataset-less
