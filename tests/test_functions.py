@@ -134,6 +134,22 @@ def test_label_centroids_match_numpy():
         assert np.allclose(got, exp, atol=1e-6)
 
 
+def test_exact_group_quantiles_match_numpy():
+    from log_aggregator_ray.functions.quantiles import exact_group_quantiles
+
+    rng = np.random.default_rng(6)
+    g = rng.choice(["a", "b", "c"], 5000)
+    v = rng.standard_normal(5000) * 10
+    t = pa.table({"grp": g, "value": v})
+    out = exact_group_quantiles(rd.from_arrow(t), "grp", "value", [0.5, 0.9],
+                                bins=64)
+    for grp in "abc":
+        for q in (0.5, 0.9):
+            exp = round(float(np.quantile(v[g == grp], q)), 6)
+            got = out[(out["grp"] == grp) & (out["q"] == q)]["value"].iloc[0]
+            assert got == exp, (grp, q, got, exp)
+
+
 def test_regex_token_count_matches_duckdb():
     import duckdb
 
