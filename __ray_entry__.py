@@ -25,6 +25,7 @@ def _catalog():
             SF_CORRECTNESS,
             build_catalog,
             ensure_adv_corpus,
+            ensure_jsonl_corpus,
             ensure_sessions_corpus,
         )
 
@@ -33,6 +34,7 @@ def _catalog():
         ensure_adv_corpus(SF_CORRECTNESS)
         ensure_adv_corpus("/root/testdata/sf0.001")
         ensure_sessions_corpus(SF_CORRECTNESS)
+        ensure_jsonl_corpus(SF_CORRECTNESS)
         _CATALOG = build_catalog()
     return _CATALOG
 
