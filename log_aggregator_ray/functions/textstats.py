@@ -52,6 +52,27 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
+def add_split_column(batch: pa.Table, id_col: str = "doc_id",
+                     train_frac: float = 0.8, out: str = "split") -> pa.Table:
+    """Deterministic hash-based train/val assignment — the standard
+    leakage-safe split (same id → same split on every run/machine,
+    robust to row order and sharding, unlike random or modulo splits on
+    structured ids).  Uses md5 of the id's decimal string so the exact
+    assignment is reproducible in SQL (DuckDB md5()); a non-oracled
+    production variant would use the cheaper stages.route.stable_hash."""
+    import hashlib
+
+    ids = batch[id_col].to_pylist()
+    thresh = int(train_frac * 256)
+    split = [
+        "train"
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) < thresh
+        else "val"
+        for i in ids
+    ]
+    return batch.append_column(out, pa.array(split, pa.string()))
+
+
 class QualityScorer:
     """Actor-pool stage: heuristic quality features + score.
 
