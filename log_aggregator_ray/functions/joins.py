@@ -122,3 +122,87 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
         .groupby("bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _bucketed_membership_join(left, right, key: str, left_cols: list[str],
+                              num_buckets: int, keep_members: bool):
+    """Shared semi/anti machinery: ship ONLY the distinct right-side keys
+    (per-batch distinct partials — the membership side never carries
+    payload), one shuffle, vectorized isin per bucket."""
+    left_cols = [c for c in left_cols if c != key]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key: t[key],
+            **{c: t[c] for c in left_cols},
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "bucket": pa.array((k % num_buckets).astype(np.int32)),
+        })
+
+    # the union needs one aligned schema, so the right (membership) side
+    # carries typed nulls for the left's payload columns — they are never
+    # read, only schema filler
+    def _types(ds, cols):
+        sch = ds.schema()
+        out = {}
+        for c in cols:
+            t = sch.types[sch.names.index(c)]
+            if isinstance(t, pa.DataType):
+                out[c] = t
+            elif t == np.dtype(object):
+                out[c] = pa.string()
+            else:
+                out[c] = pa.from_numpy_dtype(t)
+        return out
+
+    l_types = _types(left, left_cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        ks = t.select([key]).group_by(key).aggregate([])  # distinct per block
+        k = ks[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key: ks[key],
+            **{c: pa.nulls(ks.num_rows, l_types[c]) for c in left_cols},
+            "__side": pa.array(np.ones(ks.num_rows, np.int8)),
+            "bucket": pa.array((k % num_buckets).astype(np.int32)),
+        })
+
+    l_tagged = left.select_columns([key] + left_cols).map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    )
+    r_tagged = right.select_columns([key]).map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def filt(df: pd.DataFrame) -> pa.Table:
+        l = df[df["__side"] == 0]
+        members = df[df["__side"] == 1][key].unique()
+        mask = l[key].isin(members)
+        out = l[mask if keep_members else ~mask][[key] + left_cols]
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        l_tagged.union(r_tagged)
+        .groupby("bucket")
+        .map_groups(filt, batch_format="pandas")
+    )
+
+
+def bucketed_semi_join(left, right, key: str, left_cols: list[str],
+                       num_buckets: int = 32):
+    """left rows whose key EXISTS in right (SQL semi join / WHERE EXISTS) —
+    the exchange moves distinct right keys only, never right payload."""
+    return _bucketed_membership_join(left, right, key, left_cols,
+                                     num_buckets, keep_members=True)
+
+
+def bucketed_anti_join(left, right, key: str, left_cols: list[str],
+                       num_buckets: int = 32):
+    """left rows whose key is ABSENT from right (SQL anti join / WHERE NOT
+    EXISTS) — the flagship's resume filter (J1) generalized to a
+    large-large membership set."""
+    return _bucketed_membership_join(left, right, key, left_cols,
+                                     num_buckets, keep_members=False)

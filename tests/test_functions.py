@@ -232,6 +232,31 @@ def test_bucketed_inner_join_matches_pandas():
     pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
 
 
+def test_semi_and_anti_join_match_pandas():
+    from log_aggregator_ray.functions.joins import (
+        bucketed_anti_join,
+        bucketed_semi_join,
+    )
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 500), "x": rng.random(500)})
+    right = pd.DataFrame({"k": rng.choice(100, 40, replace=False)})
+    members = set(right["k"])
+
+    semi = bucketed_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", ["x"], num_buckets=8
+    ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    anti = bucketed_anti_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", ["x"], num_buckets=8
+    ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+
+    exp_semi = left[left["k"].isin(members)].sort_values(["k", "x"]).reset_index(drop=True)
+    exp_anti = left[~left["k"].isin(members)].sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(semi, exp_semi, check_dtype=False)
+    pd.testing.assert_frame_equal(anti, exp_anti, check_dtype=False)
+    assert len(semi) + len(anti) == len(left)
+
+
 def test_bucketed_join_salted_hot_key():
     """Skew salting: a key holding half the probe rows is sprayed across
     salt sub-buckets with the build row replicated — result identical."""

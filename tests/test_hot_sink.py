@@ -124,6 +124,28 @@ def test_two_hot_sinks(tmp_path):
         pd.testing.assert_frame_equal(_df(out, kind), _df(ref, kind))
 
 
+def test_hot_bucket_crash_resume(hot_corpus, tmp_path):
+    """Losing the hot pseudo-bucket's manifest + outputs mid-run: resume
+    reprocesses ONLY it (committed hash buckets skipped) and re-converges."""
+    import glob
+
+    corpus, _ = hot_corpus
+    out = str(tmp_path / "out")
+    _run(corpus, out)
+    routed_before = _df(out, "routed")
+
+    committed_before = len(mf.committed_buckets(out))
+    os.remove(os.path.join(out, "_manifests", "bucket=00008.json"))
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        for p in glob.glob(os.path.join(out, kind, "bucket=00008*.parquet")):
+            os.remove(p)
+
+    r = _run(corpus, out)
+    assert r["buckets_skipped"] == committed_before - 1  # hash buckets survive
+    assert r["buckets_this_run"] == 1  # only the hot pseudo-bucket re-ran
+    pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
+
+
 def test_hot_incremental_gap_fill(hot_corpus, tmp_path):
     corpus, schema = hot_corpus
     import shutil
