@@ -21,8 +21,9 @@ transcript columns (+ optional session) and NOTHING else — ``sink`` (a
 derived string duplicating conv_id) and the ~10 parse/enrich columns are all
 recomputed post-exchange inside the bucket task, where they are per-row
 column derivations over already-localized data.  Measured round 2: this cut
-exchange bytes ~45% vs the round-1 wide exchange and is the difference
-between 0.58 and ≥0.8 scaling efficiency on the 8→32 CPU pair.
+exchange bytes ~45% vs the round-1 wide exchange; together with the
+hot-sink path it lifted the 4→16 CPU scaling pair from 0.59 (round 1) to
+0.84–0.90 (BASELINE.md ladder).
 
 Per-sink fan-out is realized as bucket-partitioned parquet with rows sorted
 by (sink, turn_idx) inside each file — the reference's one-file-per-
@@ -93,12 +94,13 @@ def _write_part(table: pa.Table, out_dir: str, kind: str, name: str,
 
 # A phase-2 task above this row count is sub-split by sink hash into slices
 # of ~SPLIT_TARGET rows, each its own nested Ray task.  The generator plants
-# a pathologically hot conversation (~5% of ALL rows in one sink → one
-# bucket 8× the median); without the split that bucket is a straggler that
+# a pathologically hot conversation (~10% of ALL rows in one sink → one
+# bucket 8× the median); without handling, that bucket is a straggler that
 # wall-bounds phase 2 at every CPU count (measured: p50 bucket 0.86 s, hot
 # bucket 12.6 s).  Whole sinks stay within one slice — reassembly/doc
-# assembly need every row of a sink together — so one giant sink remains
-# the irreducible floor, but it no longer drags its bucket-mates with it.
+# assembly need every row of a sink together — so a giant sink needs the
+# dedicated turn-block path below (detect_hot_sinks + make_hot_processor);
+# this sink-hash split handles fat MANY-sink buckets.
 SPLIT_ROWS = 400_000
 SPLIT_TARGET = 200_000
 
