@@ -64,7 +64,19 @@ def _flat_view(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return np.zeros(0, np.uint8), z, z
     if arr.null_count:
         raise ValueError("text column must be non-null for signature kernels")
-    raw_off = np.frombuffer(arr.buffers()[1], np.int32)
+    # Offset width follows the Arrow type: large_string/large_binary (what
+    # Arrow produces when a chunk's text exceeds 2 GiB — the 100-TB regime)
+    # carries int64 offsets; reading them as int32 would silently yield
+    # garbage windows and therefore wrong signatures (ADVICE r2).
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        raw_off = np.frombuffer(arr.buffers()[1], np.int64)
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        raw_off = np.frombuffer(arr.buffers()[1], np.int32)
+    else:
+        raise TypeError(
+            f"signature kernels need a (large_)string/binary column, "
+            f"got {arr.type}"
+        )
     starts = raw_off[arr.offset : arr.offset + len(arr)].astype(np.int64)
     ends = raw_off[arr.offset + 1 : arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)
@@ -209,13 +221,15 @@ def _runs_pairs(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
     if not len(df):
         return pd.DataFrame({"id_a": [], "id_b": []})
     df = df.sort_values(["band", "band_hash", id_col])
-    key = (df["band"].to_numpy().astype(np.uint64) << np.uint64(56)) ^ df[
-        "band_hash"
-    ].to_numpy().astype(np.uint64)
+    # run breaks on BOTH sorted columns directly — a packed (band << 56) ^
+    # band_hash key can XOR-collide adjacent distinct buckets into one run
+    # (band_hash spans all 64 bits), producing spurious candidates (ADVICE r2)
+    band = df["band"].to_numpy()
+    bh = df["band_hash"].to_numpy().astype(np.uint64)
     ids = df[id_col].to_numpy()
-    brk = np.r_[True, key[1:] != key[:-1]]
+    brk = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
     starts = np.flatnonzero(brk)
-    ends = np.append(starts[1:], len(key))
+    ends = np.append(starts[1:], len(bh))
     a_out, b_out = [], []
     for s, e in zip(starts, ends):
         if e - s < 2:

@@ -140,11 +140,13 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
         routed = out.filter(mask)
         quarantined = out.filter(pc.invert(mask))
 
-        _write_part(routed, out_dir, "routed", name, ROUTED_COLS)
-        _write_part(
-            quarantined, out_dir, "quarantine", name,
-            ROUTED_COLS + ["first_missing_turn"],
-        )
+        paths = [
+            _write_part(routed, out_dir, "routed", name, ROUTED_COLS),
+            _write_part(
+                quarantined, out_dir, "quarantine", name,
+                ROUTED_COLS + ["first_missing_turn"],
+            ),
+        ]
 
         counts = (
             routed.select(["sink", "counter"])
@@ -153,12 +155,15 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
             .rename_columns(["sink", "n_rows", "max_counter"])
         )
         counts = counts.take(pc.sort_indices(counts["sink"]))
-        _write_part(counts, out_dir, "sink_counts", name)
+        paths.append(_write_part(counts, out_dir, "sink_counts", name))
 
         if write_docs:
-            _write_part(assemble_docs_table(routed), out_dir, "docs", name)
+            paths.append(
+                _write_part(assemble_docs_table(routed), out_dir, "docs", name)
+            )
 
         return {
+            "paths": paths,
             "rows_in": t.num_rows,
             "routed": int(routed.num_rows),
             "quarantined": int(quarantined.num_rows),
@@ -172,15 +177,6 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
 
         t0 = time.perf_counter()
         t = add_sink_column(t, router=router)
-
-        # stale-name cleanup: the slice count may differ from a prior run of
-        # this bucket (input grew on an incremental merge) — deterministic
-        # names only collide WITHIN a layout, so clear the bucket's old
-        # files first (manifest gen still marks the commit point)
-        for kind in ("routed", "quarantine", "sink_counts", "docs"):
-            for p in glob.glob(os.path.join(out_dir, kind,
-                                            f"bucket={bucket:05d}*.parquet")):
-                os.remove(p)
 
         if t.num_rows > SPLIT_ROWS:
             import ray
@@ -207,6 +203,25 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
             parts = ray.get(futures)
         else:
             parts = [process_slice(t, f"{bucket:05d}")]
+
+        # Crash-safe stale-name cleanup (write first, THEN delete): the
+        # merged replacements are already atomically in place — os.replace
+        # overwrote same-name files with the merged superset — so the
+        # bucket's prior committed rows are recoverable at every instant.
+        # A crash/retry between any two steps re-reads whichever mix of old
+        # and new files survives, and first-wins dedup converges to the same
+        # rows.  Only NOW remove names from a previous layout of this bucket
+        # (the slice count can change when input grows on an incremental
+        # merge).  Deleting before writing — the round-2 shape — left a
+        # window where a replayed merge found no prior rows and silently
+        # committed the bucket with only the new parts' rows.
+        live = {os.path.abspath(pth) for p in parts for pth in p["paths"]}
+        for kind in ("routed", "quarantine", "sink_counts", "docs"):
+            for stale in glob.glob(os.path.join(
+                out_dir, kind, f"bucket={bucket:05d}*.parquet"
+            )):
+                if os.path.abspath(stale) not in live:
+                    os.remove(stale)
 
         payload = {
             "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows),

@@ -279,3 +279,47 @@ def test_bucketed_join_salted_hot_key():
     )
     exp = left.merge(right, on="k").sort_values(["k", "x"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
+
+
+def test_flat_view_large_string_offsets():
+    """ADVICE r2: large_string carries int64 offsets — reading them as int32
+    yields garbage windows and silently-wrong signatures.  The signature
+    kernels must produce IDENTICAL hashes for string and large_string."""
+    import numpy as np
+    import pyarrow as pa
+
+    texts = ["hello world", "", "a", "the quick brown fox jumps"]
+    small = pa.array(texts, pa.string())
+    large = pa.array(texts, pa.large_string())
+    h1s, h2s = dedup.content_hash128(small)
+    h1l, h2l = dedup.content_hash128(large)
+    assert np.array_equal(h1s, h1l) and np.array_equal(h2s, h2l)
+    assert np.array_equal(dedup.simhash_batch(small), dedup.simhash_batch(large))
+    # sliced large column (non-zero offset) too
+    sl = large.slice(1, 3)
+    h1x, _ = dedup.content_hash128(sl)
+    assert np.array_equal(h1x, h1l[1:])
+    # unsupported types raise instead of misreading offsets
+    import pytest
+    with pytest.raises(TypeError):
+        dedup.content_hash128(pa.array([1, 2, 3]))
+
+
+def test_runs_pairs_no_packed_key_collision():
+    """ADVICE r2: adjacent (band, band_hash) buckets that XOR-collide under
+    the old packed key must NOT merge into one run (spurious candidates)."""
+    import numpy as np
+    import pandas as pd
+
+    # craft two buckets whose packed keys collide:
+    # (band=1, h) and (band=2, h ^ (3<<56)) → same (band<<56) ^ h
+    h = np.uint64(0xDEADBEEF12345678)
+    df = pd.DataFrame({
+        "band": [1, 1, 2, 2],
+        "band_hash": [h, h, h ^ (np.uint64(3) << np.uint64(56)),
+                      h ^ (np.uint64(3) << np.uint64(56))],
+        "doc_id": [10, 11, 20, 21],
+    })
+    pairs = dedup._runs_pairs(df, "doc_id")
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(10, 11), (20, 21)}  # no cross-bucket pair

@@ -215,3 +215,64 @@ def test_crashed_merge_replay_converges(tmp_path):
 
     flagship.run_flagship(d, out, num_buckets=8)
     pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
+
+
+def test_merge_crash_before_write_preserves_prior_rows(tmp_path, monkeypatch):
+    """ADVICE r2 (high): a bucket task that dies mid-merge — after reading
+    prior rows but before its replacement outputs are durably in place —
+    must leave the bucket's prior committed rows recoverable, so the retry
+    re-reads them and converges.  Round 2 deleted the prior files BEFORE
+    writing; a crash in that window silently and permanently dropped them
+    (the retry's read_bucket_raw returned None and the bucket committed
+    with only the new parts' rows)."""
+    import pytest
+
+    d, early, late, _ = _split_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+    routed_before = _df(out, "routed")
+
+    bk = sorted(mf.committed_buckets(out))[0]
+    prior = mf.read_bucket_raw(out, bk, flagship.EXCHANGE_COLS)
+    assert prior is not None and prior.num_rows > 0
+
+    # fresh rows for this bucket: re-deliveries of already-committed rows
+    fresh = prior.slice(0, min(5, prior.num_rows))
+    writer = flagship.make_bucket_writer(out, gen="g2")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before first output write")
+
+    monkeypatch.setattr(flagship, "_write_part", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        writer(pa.concat_tables([prior, fresh]), bk)
+    monkeypatch.undo()
+
+    # the bucket's prior committed rows are still on disk
+    survived = mf.read_bucket_raw(out, bk, flagship.EXCHANGE_COLS)
+    assert survived is not None
+    key = lambda t: set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    assert key(prior) <= key(survived)
+
+    # the retry (run_bucket's real shape: re-read prior + fresh) converges
+    writer(pa.concat_tables([survived, fresh]), bk)
+    pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
+
+
+def test_merge_cleans_stale_layout_after_write(tmp_path):
+    """The write-first fix must still clean names from a previous slice
+    layout of the bucket — but only AFTER the replacements are in place."""
+    d, early, late, _ = _split_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    flagship.run_flagship(d, out, num_buckets=8)
+    routed_before = _df(out, "routed")
+
+    bk = sorted(mf.committed_buckets(out))[0]
+    prior = mf.read_bucket_raw(out, bk, flagship.EXCHANGE_COLS)
+    stale = os.path.join(out, "routed", f"bucket={bk:05d}.777.parquet")
+    pq.write_table(prior, stale)  # fake leftover from an older slice layout
+
+    writer = flagship.make_bucket_writer(out, gen="g2")
+    writer(pa.concat_tables([mf.read_bucket_raw(out, bk, flagship.EXCHANGE_COLS)]), bk)
+    assert not os.path.exists(stale)
+    pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
