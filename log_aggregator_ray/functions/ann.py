@@ -121,6 +121,181 @@ def lsh_topk(ds, query_vec, k: int = 10, nbits: int = 8, col: str = "embedding",
     return brute_force_topk(pruned, q, k=k, col=col, id_col=id_col)
 
 
+class BatchCosineScorer:
+    """Actor-pool stage for a query *set*: one (n, d) @ (d, Q) matmul per
+    corpus batch, then a vectorized per-query local top-k (argpartition on
+    the corpus axis).  Emits ≤ k·Q tiny rows per batch — the embeddings
+    never leave the batch, which is what makes the dedup-against-index
+    shape (thousands of queries at once) viable at corpus scale."""
+
+    def __init__(self, query_ref, k: int, col: str, id_col: str,
+                 exclude_self: bool):
+        qids, qmat = (
+            ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef)
+            else query_ref
+        )
+        qmat = np.asarray(qmat, dtype=np.float64)
+        self.qn = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+        )
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, self.col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = m @ self.qn.T                                   # (n, Q)
+        if self.exclude_self:
+            cos[ids[:, None] == self.qids[None, :]] = -np.inf
+        kk = min(self.k, len(ids))
+        if kk < len(ids):
+            top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, Q)
+        else:
+            top = np.broadcast_to(
+                np.arange(len(ids))[:, None], (len(ids), len(self.qids))
+            )
+        qi = np.broadcast_to(
+            np.arange(len(self.qids))[None, :], top.shape
+        ).ravel()
+        ci = top.ravel()
+        keep = np.isfinite(cos[ci, qi])
+        return pa.table({
+            "query_id": pa.array(self.qids[qi[keep]], pa.int64()),
+            self.id_col: pa.array(ids[ci[keep]], pa.int64()),
+            "cos_sim": pa.array(cos[ci[keep], qi[keep]], pa.float64()),
+        })
+
+
+def _final_topk(scored, k: int, id_col: str):
+    """Per-query exact final: each query's group holds ≤ k·num_blocks tiny
+    candidate rows — the shuffle moves candidates, never embeddings."""
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cos_sim", id_col], ascending=[False, True]
+        ).head(k)
+
+    return scored.groupby("query_id").map_groups(
+        per_query, batch_format="pandas"
+    )
+
+
+def batch_topk(ds, query_ids, query_mat, k: int = 10, col: str = "embedding",
+               id_col: str = "vec_id", exclude_self: bool = True,
+               concurrency: int = 2):
+    """Exact cosine top-k for a query SET against the corpus (the shape a
+    dedup-a-new-shard-against-an-index pipeline needs — VERDICT r2 #2).
+    Query matrix broadcast once via ``ray.put``; per-batch matmul + local
+    top-k; per-query bounded final."""
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                   np.asarray(query_mat, dtype=np.float64)))
+    scored = ds.map_batches(
+        BatchCosineScorer,
+        fn_constructor_kwargs={
+            "query_ref": ref, "k": k, "col": col, "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    return _final_topk(scored, k, id_col)
+
+
+class BatchIVFScorer:
+    """IVF batch scorer: corpus rows are assigned to their nearest centroid
+    list; each list's sub-matrix is scored ONLY against the queries probing
+    that list (nprobe nearest lists per query) — compute drops from n·Q to
+    ~n·Q·nprobe/nlist at the standard inverted-file recall trade."""
+
+    def __init__(self, state_ref, k: int, col: str, id_col: str,
+                 exclude_self: bool):
+        qids, qn, cents, probe = (
+            ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef)
+            else state_ref
+        )
+        self.qids, self.qn, self.cents = qids, qn, cents
+        # list id → indices of queries probing it
+        self.list_queries = {
+            int(l): np.flatnonzero((probe == l).any(axis=1))
+            for l in np.unique(probe)
+        }
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, self.col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = (m @ self.cents.T).argmax(axis=1)
+        out_q, out_c, out_s = [], [], []
+        for l, qidx in self.list_queries.items():
+            rows = np.flatnonzero(assign == l)
+            if not rows.size:
+                continue
+            cos = m[rows] @ self.qn[qidx].T               # (r, q_l)
+            if self.exclude_self:
+                cos[ids[rows][:, None] == self.qids[qidx][None, :]] = -np.inf
+            kk = min(self.k, rows.size)
+            if kk < rows.size:
+                top = np.argpartition(-cos, kk - 1, axis=0)[:kk]
+            else:
+                top = np.broadcast_to(
+                    np.arange(rows.size)[:, None], (rows.size, qidx.size)
+                )
+            qi = np.broadcast_to(
+                np.arange(qidx.size)[None, :], top.shape
+            ).ravel()
+            ci = top.ravel()
+            keep = np.isfinite(cos[ci, qi])
+            out_q.append(self.qids[qidx][qi[keep]])
+            out_c.append(ids[rows][ci[keep]])
+            out_s.append(cos[ci[keep], qi[keep]])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            self.id_col: pa.array(np.concatenate(out_c), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def batch_ivf_topk(ds, query_ids, query_mat, k: int = 10, nlist: int = 16,
+                   nprobe: int = 4, col: str = "embedding",
+                   id_col: str = "vec_id", exclude_self: bool = True,
+                   sample_size: int = 4096, seed: int = 13,
+                   concurrency: int = 2):
+    """Approximate batch top-k: sampled k-means codebook (bounded driver
+    sample), each query probes its ``nprobe`` nearest lists, corpus rows
+    score only against the queries probing their list."""
+    sample = ds.limit(sample_size).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).to_pandas()
+    sample = sample.sort_values(id_col).reset_index(drop=True)
+    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    cents = _kmeans_fit(xs, nlist, seed=seed)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, cents, probe))
+    scored = ds.map_batches(
+        BatchIVFScorer,
+        fn_constructor_kwargs={
+            "state_ref": ref, "k": k, "col": col, "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    return _final_topk(scored, k, id_col)
+
+
 def _kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
     """Plain Lloyd k-means on a (normalized) sample — the IVF codebook.
     Deterministic (fixed seed); numpy-only since no ML libs are present."""

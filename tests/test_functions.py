@@ -116,6 +116,61 @@ def test_ivf_topk_recall():
     assert recall >= 0.8  # planted cluster lands in the probed lists
 
 
+def _emb_table(m):
+    return pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_batch_topk_matches_per_query_numpy():
+    """Batch-query exact top-k == the per-query numpy reference for every
+    query in the set (self-match excluded)."""
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((300, 16)).astype(np.float32)
+    t = _emb_table(m)
+    qids = np.arange(12, dtype=np.int64)
+    out = ann.batch_topk(rd.from_arrow(t), qids, m[:12], k=5).to_pandas()
+    m64 = m.astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    for qid in qids:
+        cos = mn @ mn[qid]
+        cos[qid] = -np.inf
+        exp = np.argsort(-cos)[:5]
+        got = out[out["query_id"] == qid].sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )["vec_id"].to_numpy()
+        assert list(got) == list(exp), qid
+
+
+def test_batch_ivf_topk_recall_floor():
+    """IVF batch variant: every query answered, scores exact for returned
+    rows, and recall vs the exact batch result clears a floor on a corpus
+    with planted clusters (the regime IVF exists for)."""
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 3
+    m = np.concatenate([
+        c + rng.standard_normal((50, 16)).astype(np.float32) for c in centers
+    ])
+    t = _emb_table(m)
+    qids = np.arange(10, dtype=np.int64)
+    exact = ann.batch_topk(rd.from_arrow(t), qids, m[:10], k=5).to_pandas()
+    approx = ann.batch_ivf_topk(
+        rd.from_arrow(t), qids, m[:10], k=5, nlist=8, nprobe=3
+    ).to_pandas()
+    assert set(approx["query_id"]) == set(qids)
+    hit = exact.merge(approx, on=["query_id", "vec_id"], how="inner")
+    assert len(hit) / len(exact) >= 0.8
+    # returned scores are true cosines (approximation prunes candidates,
+    # never distorts scores)
+    m64 = m.astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    for _, r in approx.head(20).iterrows():
+        want = float(mn[int(r["query_id"])] @ mn[int(r["vec_id"])])
+        assert abs(r["cos_sim"] - want) < 1e-9
+
+
 def test_label_centroids_match_numpy():
     rng = np.random.default_rng(4)
     m = rng.standard_normal((90, 8)).astype(np.float32)
