@@ -325,13 +325,14 @@ def test_token_count_matches_duckdb_semantics():
 
 
 def test_quality_and_langid_shapes():
-    df = pd.DataFrame(
+    t = pa.table(
         {"doc_id": [1, 2], "text": ["The quick brown fox and the dog.", "xyz"]}
     )
-    scored = textstats.QualityScorer()(df)
-    assert scored.loc[0, "quality_score"] > scored.loc[1, "quality_score"]
-    lid = textstats.LangId()(df)
-    assert {"lang_pred", "lang_conf"} <= set(lid.columns)
+    scored = textstats.QualityScorer()(t)
+    qs = scored["quality_score"].to_pylist()
+    assert qs[0] > qs[1]
+    lid = textstats.LangId()(t)
+    assert {"lang_pred", "lang_conf"} <= set(lid.column_names)
 
 
 def test_multimodal_plumbing():
