@@ -375,17 +375,116 @@ def label_centroids(ds, col: str = "embedding", label_col: str = "label",
     return out
 
 
-def embedding_near_dup(ds, threshold: float = 0.45, block_col: str = "label",
-                       col: str = "embedding", id_col: str = "vec_id"):
-    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``.
+def lsh_candidate_pairs(ds, n_tables: int = 24, nbits: int = 3,
+                        col: str = "embedding", id_col: str = "vec_id",
+                        seed: int = 17):
+    """Candidate near-dup pairs with NO natural blocking key (VERDICT r2
+    #8): ``n_tables`` independent hyperplane-LSH tables; two vectors are
+    candidates iff they share a bucket in ANY table, and a pair is emitted
+    only by its FIRST matching table (the same first-agreeing-band dedup
+    as ``dedup.simhash_near_pairs`` / MinHash banding — no cross-table
+    duplicates, no silent caps).  The shuffle ships (table, bucket, id,
+    all-table signature list) — small ints only, never embeddings; recall
+    follows the standard 1-(1-p^nbits)^n_tables LSH curve, so ``nbits``
+    sizes the blocks (raise it for tighter thresholds / denser corpora)
+    and ``n_tables`` buys recall."""
 
-    Within each block: one normalized matmul (m @ m.T) and a threshold —
-    vectorized, no per-pair Python.  Blocking keeps the pair space
-    tractable (the LSH bucketing in ``HyperplaneLSH`` is the blocking
-    strategy when no natural key exists).  Output: (id_a, id_b, cos_sim)
-    with id_a < id_b.
-    """
+    def explode(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = m.shape[1]
+        sigs = np.stack(
+            [HyperplaneLSH(dim, nbits, seed + i).bucket_of(m)
+             for i in range(n_tables)], axis=1,
+        )  # (n, L)
+        n = len(ids)
+        parts = []
+        for i in range(n_tables):
+            parts.append(pa.table({
+                "table": pa.array(np.full(n, i, dtype=np.int64)),
+                "bucket": pa.array(sigs[:, i]),
+                id_col: pa.array(ids),
+                "sigs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.int64()), n_tables
+                ),
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        table = int(df["table"].iloc[0])
+        ids = df[id_col].to_numpy()
+        sigs = np.stack(df["sigs"].to_numpy())          # (n, L)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = np.ones(len(ia), dtype=bool)
+        for j in range(table):                           # first-match rule
+            keep &= sigs[ia, j] != sigs[ib, j]
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+        })
+
+    return exploded.groupby(["table", "bucket"]).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
+def embedding_near_dup(ds, threshold: float = 0.45,
+                       block_col: str | None = "label",
+                       col: str = "embedding", id_col: str = "vec_id",
+                       n_tables: int = 24, nbits: int = 3, seed: int = 17,
+                       num_buckets: int = 16):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and exact cosine ≥ threshold.
+
+    With ``block_col``: one normalized matmul (m @ m.T) per block —
+    vectorized, no per-pair Python.  With ``block_col=None`` (no natural
+    key): multi-table hyperplane-LSH candidates (``lsh_candidate_pairs``)
+    verified by EXACT cosine — candidates join to their embeddings via two
+    bucketed hash joins (the ``dedup.neardup_verified_pairs`` shape: only
+    candidate rows ever carry embeddings through a shuffle), so every
+    emitted pair is true; LSH only bounds recall."""
     import pandas as pd
+
+    if block_col is None:
+        from .joins import bucketed_inner_join
+
+        pairs = lsh_candidate_pairs(ds, n_tables=n_tables, nbits=nbits,
+                                    col=col, id_col=id_col, seed=seed)
+        emb_a = ds.map_batches(
+            lambda t: pa.table({"id_a": t[id_col], "emb_a": t[col]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        emb_b = ds.map_batches(
+            lambda t: pa.table({"id_b": t[id_col], "emb_b": t[col]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        with_a = bucketed_inner_join(
+            pairs, emb_a, "id_a", ["id_b"], ["emb_a"], num_buckets=num_buckets
+        )
+        with_ab = bucketed_inner_join(
+            with_a, emb_b, "id_b", ["id_a", "emb_a"], ["emb_b"],
+            num_buckets=num_buckets,
+        )
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            a = np.stack(df["emb_a"].to_numpy()).astype(np.float64)
+            b = np.stack(df["emb_b"].to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            cos = (a * b).sum(axis=1)
+            keep = cos >= threshold
+            return pd.DataFrame({
+                "id_a": df["id_a"].to_numpy()[keep],
+                "id_b": df["id_b"].to_numpy()[keep],
+                "cos_sim": np.round(cos[keep], 6),
+            })
+
+        return with_ab.map_batches(verify, batch_format="pandas")
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(g[col].to_numpy()).astype(np.float64)

@@ -206,6 +206,31 @@ def test_batch_ivf_topk_recall_floor():
         assert abs(r["cos_sim"] - want) < 1e-9
 
 
+def test_embedding_near_dup_lsh_unblocked():
+    """LSH-blocked near-dup (no natural key): planted near-identical pairs
+    are all found, every emitted pair is exact-verified, and no pair is
+    emitted twice (first-matching-table dedup)."""
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((400, 32)).astype(np.float32)
+    # plant 5 near-dup pairs: vectors 2i+1 ≈ vectors 2i
+    for i in range(5):
+        m[2 * i + 1] = m[2 * i] + rng.standard_normal(32).astype(np.float32) * 0.05
+    t = _emb_table(m)
+    out = ann.embedding_near_dup(
+        rd.from_arrow(t), threshold=0.9, block_col=None
+    ).to_pandas()
+    found = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    m64 = m.astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    ia, ib = np.triu_indices(len(m), 1)
+    true = set(zip(ia[cos[ia, ib] >= 0.9], ib[cos[ia, ib] >= 0.9]))
+    true = {(int(a), int(b)) for a, b in true}
+    assert found == true
+    assert len(out) == len(found)  # no duplicate emissions
+    assert len(true) >= 5
+
+
 def test_label_centroids_match_numpy():
     rng = np.random.default_rng(4)
     m = rng.standard_normal((90, 8)).astype(np.float32)
