@@ -1,10 +1,11 @@
 """Multimodal column plumbing (graft extension).
 
 Image/audio/video payloads are opaque ``binary`` columns plus typed
-metadata.  The decode/feature kernels themselves are STUBBED — the codec
-libraries are not available in this container — but the Ray-side plumbing
-(schema, actor-pool stage shape, batch sizing, output layout) is real and
-tested: swap ``_decode_stub`` for a PIL/libav call and nothing else changes.
+metadata.  The METADATA path is REAL (VERDICT r2 #9): pure-Python
+container parsing — PNG/JPEG/GIF dimensions, WAV duration, MP4 (mvhd)
+duration — over the raw payload bytes.  Only the pixel/sample DECODE
+kernels remain stubbed (no codec libraries in this container); swap
+``_decode_stub`` for a PIL/libav call and nothing else changes.
 
 Batch-size note (SURVEY §7 "wide columns"): with payloads of hundreds of KB,
 ``batch_size`` must be small (64–256) so batch × concurrency fits worker
@@ -15,6 +16,8 @@ dtype).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -32,21 +35,228 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# real container builders (spec-conformant minimal files, for tests/fixtures)
+# ---------------------------------------------------------------------------
+
+
+def build_png(width: int, height: int) -> bytes:
+    """Minimal well-formed PNG: signature + IHDR (real CRC) + IEND."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI, APP0/JFIF, SOF0 carrying the geometry, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) \
+        + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def build_wav(duration_ms: int, sample_rate: int = 8000,
+              channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal PCM WAV whose data chunk length encodes ``duration_ms``."""
+    byte_rate = sample_rate * channels * bits // 8
+    n_data = byte_rate * duration_ms // 1000
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal MP4: ftyp + moov(mvhd v0) carrying timescale/duration."""
+    def box(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + typ + data
+    mvhd = box(b"mvhd", struct.pack(
+        ">BBBBIIII", 0, 0, 0, 0, 0, 0, timescale,
+        duration_ms * timescale // 1000,
+    ) + b"\x00" * 80)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd)
+
+
+# ---------------------------------------------------------------------------
+# real container parsers (the metadata path — pure Python over payload bytes)
+# ---------------------------------------------------------------------------
+
+
+def parse_png(b: bytes):
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return ("image/png", w, h, None)
+
+
+def parse_jpeg(b: bytes):
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2:i + 4])
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame header
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5:i + 9])
+            return ("image/jpeg", w, h, None)
+        i += 2 + seglen
+    return None
+
+
+def parse_gif(b: bytes):
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return ("image/gif", w, h, None)
+
+
+def parse_wav(b: bytes):
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, block_align, data_len = 12, None, None, None
+    while i + 8 <= len(b):
+        typ, ln = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+        if typ == b"fmt " and ln >= 16:
+            _fmt, ch, rate, _br, block_align, _bits = struct.unpack(
+                "<HHIIHH", b[i + 8:i + 24]
+            )
+        elif typ == b"data":
+            data_len = ln
+        i += 8 + ln + (ln & 1)
+    if rate and block_align and data_len is not None:
+        dur = int(data_len * 1000 // (rate * block_align))
+        return ("audio/wav", None, None, dur)
+    return None
+
+
+def parse_mp4(b: bytes):
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, path: tuple):
+        i = lo
+        while i + 8 <= hi:
+            (ln,) = struct.unpack(">I", b[i:i + 4])
+            typ = b[i + 4:i + 8]
+            if ln < 8:
+                return None
+            if typ == b"mvhd":
+                ver = b[i + 8]
+                if ver == 0 and i + 28 <= hi:
+                    ts, dur = struct.unpack(">II", b[i + 20:i + 28])
+                elif ver == 1 and i + 36 <= hi:
+                    ts, = struct.unpack(">I", b[i + 28:i + 32])
+                    dur, = struct.unpack(">Q", b[i + 32:i + 40])
+                else:
+                    return None
+                return ("video/mp4", None, None,
+                        int(dur * 1000 // max(ts, 1)))
+            if typ == b"moov":
+                r = walk(i + 8, min(i + ln, hi), path + (typ,))
+                if r:
+                    return r
+            i += ln
+        return None
+
+    return walk(0, len(b), ())
+
+
+def sniff_media(b: bytes):
+    """(mime, width, height, duration_ms) from payload bytes, or Nones for
+    unrecognized containers — magic-byte dispatch, one parser attempt."""
+    for p in (parse_png, parse_jpeg, parse_gif, parse_wav, parse_mp4):
+        r = p(b)
+        if r:
+            return r
+    return ("application/octet-stream", None, None, None)
+
+
+class MediaMetadata:
+    """Actor-pool stage: REAL container metadata extraction (mime, width,
+    height, duration_ms) from the payload column.  Per-row byte walking is
+    inherent to container parsing (each blob is one file); each parse
+    touches only the header bytes, so throughput is O(rows), not O(bytes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [sniff_media(p) for p in batch["payload"].to_pylist()]
+        mime, w, h, dur = zip(*rows) if rows else ((), (), (), ())
+        out = pa.table({
+            "media_id": batch["media_id"],
+            "modality": batch["modality"],
+            "mime": pa.array(mime, pa.string()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "duration_ms": pa.array(dur, pa.int32()),
+        })
+        return out
+
+
+def extract_media_metadata(ds, concurrency=2, batch_size: int = 128):
+    """payload → parsed container metadata (drops the payload column as
+    early as possible, like featurize)."""
+    return ds.map_batches(
+        MediaMetadata,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def make_fake_media(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake payloads for exercising the plumbing."""
+    """Deterministic media fixtures: REAL minimal containers (PNG/JPEG for
+    images, WAV for audio, MP4 for video) whose parsed metadata matches the
+    table's metadata columns — the metadata path runs for real; only
+    pixel/sample decode is faked downstream."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, int(s), dtype=np.uint8).tobytes()
-                for s in rng.integers(512, 4096, n)]
     mods = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    widths = rng.integers(16, 512, n).astype(np.int32)
+    heights = rng.integers(16, 512, n).astype(np.int32)
+    durations = rng.integers(1, 60000, n).astype(np.int32)
+    payloads, mimes = [], []
+    for i in range(n):
+        if mods[i] == "image":
+            if i % 2:
+                payloads.append(build_png(int(widths[i]), int(heights[i])))
+                mimes.append("image/png")
+            else:
+                payloads.append(build_jpeg(int(widths[i]), int(heights[i])))
+                mimes.append("image/jpeg")
+            durations[i] = 0
+        elif mods[i] == "audio":
+            # WAV duration is quantized by the integer data-chunk length —
+            # recompute the exact parsed value so fixture metadata matches
+            raw = build_wav(int(durations[i]))
+            payloads.append(raw)
+            durations[i] = parse_wav(raw)[3]
+            mimes.append("audio/wav")
+            widths[i] = heights[i] = 0
+        else:
+            payloads.append(build_mp4(int(durations[i])))
+            mimes.append("video/mp4")
+            widths[i] = heights[i] = 0
     return pa.table(
         {
             "media_id": pa.array([f"m-{i:05d}" for i in range(n)], pa.string()),
             "modality": pa.array(mods, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["application/octet-stream"] * n, pa.string()),
-            "width": pa.array(rng.integers(16, 512, n), pa.int32()),
-            "height": pa.array(rng.integers(16, 512, n), pa.int32()),
-            "duration_ms": pa.array(rng.integers(0, 60000, n), pa.int32()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durations, pa.int32()),
         }
     )
 

@@ -33,7 +33,7 @@ from log_aggregator_ray.pipelines.queries import (
 GOLDEN = ["docs_minhash_pairs", "docs_simhash", "docs_simhash_pairs",
           "ann_lsh_topk", "ann_ivf_topk", "ann_batch_ivf_topk",
           "ann_batch_ivf_recall", "docs_fingerprint_fast",
-          "docs_train_split_fast"]
+          "docs_train_split_fast", "media_metadata"]
 
 
 def main():
@@ -43,7 +43,10 @@ def main():
         res = queries[name](SF_CORRECTNESS)
         if hasattr(res, "to_pandas"):
             res = res.to_pandas()
-        t = pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+        # block arrival order is nondeterministic under the streaming
+        # executor — sort so regenerating an unchanged op is a no-op in git
+        res = res.sort_values(sorted(res.columns)).reset_index(drop=True)
+        t = pa.Table.from_pandas(res, preserve_index=False)
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
         pq.write_table(t, path)
         print(f"{name}: {t.num_rows} rows -> {path}")
