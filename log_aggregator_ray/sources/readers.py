@@ -30,9 +30,10 @@ def _clean_read_parquet(path: str, columns: list[str] | None = None,
     import pyarrow.parquet as pq
 
     if "schema" not in kwargs:
-        probe = path
-        if os.path.isdir(path):
-            parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+        # path may be a str or a list of paths (incremental read plans)
+        probe = path[0] if isinstance(path, (list, tuple)) and path else path
+        if isinstance(probe, str) and os.path.isdir(probe):
+            parts = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"),
                                      recursive=True))
             probe = parts[0] if parts else None
         if probe and os.path.exists(probe):
