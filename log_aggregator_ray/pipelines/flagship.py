@@ -838,7 +838,18 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
 
         from concurrent.futures import ThreadPoolExecutor
 
-        scan_pool = ThreadPoolExecutor(max_workers=4)
+        # Eager-scan capacity must be PROPORTIONAL to the cluster, not a
+        # fixed bonus: on a real cluster these scans would run as remote
+        # tasks whose throughput grows with node count, but remote per-file
+        # tasks thrash the worker pool mid-phase-1 (measured, see
+        # scan_file's docstring), so they run on driver threads — sized to
+        # the cluster's share.  A fixed pool of 4 made a num_cpus=4 run
+        # consume ~2× its nominal CPUs (uncounted driver cores), inflating
+        # the low end of the N→4N scaling measurement.
+        n_cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+        scan_pool = ThreadPoolExecutor(
+            max_workers=max(1, n_cluster_cpus // 8)
+        )
         file_scans: dict[str, object] = {}  # spill file → Future[uniq turns]
 
         def _submit_hot_scans() -> None:
