@@ -1,0 +1,251 @@
+"""Corpus-curation operators (SURVEY §2.12): global vocabulary heavy
+hitters, per-group row quotas, and near-dup connected components.
+
+These are the operators a web-scale training-data pipeline runs between
+dedup and sharding: build the token vocabulary (boilerplate detection,
+tokenizer fitting), cap any one domain's share of the corpus, and collapse
+verified near-duplicate pairs into clusters so exactly one representative
+per cluster survives.  The reference has no analog (its dedup is per-key
+exact, SURVEY D1/D2) — these extend §2.8/§2.12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.aggregate import _key_bucket, bucketed_groupby
+
+# Tokenizer used by both the Ray op and its SQL oracle: RE2 on both engines
+# (pyarrow split_pattern_regex / DuckDB string_split_regex), so boundaries
+# match byte-for-byte on ASCII text.
+TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+def top_tokens(ds, text_col: str = "text", k: int = 50,
+               pattern: str = TOKEN_SPLIT_PATTERN,
+               num_buckets: int = 64) -> pd.DataFrame:
+    """Global top-k most frequent tokens — the vocabulary heavy-hitter
+    pass.  Fully distributed: per-batch C partials (lower → regex split →
+    flatten → value_counts, one row per distinct token per block), one
+    hash-bucketed combine (``bucketed_groupby`` — the vocabulary never
+    lands on one machine), per-bucket top-k prune, and a driver final over
+    ≤ buckets×k rows.
+
+    Exactness: after the bucketed combine each token has exactly ONE row
+    globally, so per-block top-k then global top-k loses nothing.  Ties
+    break lexicographically (count desc, token asc) to keep the output
+    deterministic and oracle-comparable."""
+
+    def part(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern)
+        )
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"), "n": vc.field("counts")})
+
+    partials = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    combined = bucketed_groupby(
+        partials, ["token"], {"n": ("n", "sum")}, num_buckets=num_buckets
+    )
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    tops = combined.map_batches(bucket_top, batch_format="pandas").to_pandas()
+    out = (
+        tops.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.assign(n=out["n"].astype("int64"))
+
+
+def grouped_row_topk(ds, key: str, order_col: str, cols: list[str], k: int,
+                     num_buckets: int = 64, ascending: bool = True):
+    """Per-group row quota (the Common-Crawl per-domain cap): keep each
+    key's k first ROWS by ``order_col``.  Distinct from aggregate top-k
+    (pipelines.queries.top_users_per_type): this selects rows, it doesn't
+    summarize them.
+
+    Per-batch vectorized prune first — at most k rows per key per block
+    ride the exchange — then one shuffle on hash(key) and an exact
+    per-bucket final; a group never materializes more than k×blocks rows
+    anywhere.  Ties in ``order_col`` within a key are broken by block
+    order (nondeterministic): pass a unique order column (id, or a
+    composite packed into one) when the output feeds a hash-compared or
+    resumable step."""
+    cols = [c for c in cols if c not in (key, order_col)]
+    sel = [key, order_col] + cols
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col],
+                            ascending=[True, ascending], kind="mergesort")
+        out = df.groupby(key, sort=False).head(k)
+        return out.assign(__bucket=_key_bucket(out, [key], num_buckets))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__bucket").sort_values(
+            [key, order_col], ascending=[True, ascending], kind="mergesort"
+        )
+        out = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.select_columns(sel)
+        .map_batches(part, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup cluster collapse)
+# ---------------------------------------------------------------------------
+
+def _local_components(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+    """Vectorized hash-min with pointer jumping on one machine: labels
+    start as own node id; each round propagates the min label across every
+    edge (np.minimum.at scatter) THEN jumps each label to its label's
+    label (path halving), so convergence is O(log n) rounds — no Python
+    loop over edges.  Same algorithm as the distributed path below, which
+    keeps the two paths trivially comparable in tests."""
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    lbl = nodes.copy()
+    while True:
+        prev_sum = lbl.sum()
+        m = np.minimum(lbl[ui], lbl[vi])
+        np.minimum.at(lbl, ui, m)
+        np.minimum.at(lbl, vi, m)
+        # pointer jump: a label IS a node id → adopt that node's label
+        lbl = lbl[np.searchsorted(nodes, lbl)]
+        if lbl.sum() == prev_sum:
+            break
+    return pd.DataFrame({"doc_id": nodes, "comp_id": lbl})
+
+
+def connected_components(edges, src: str = "id_a", dst: str = "id_b",
+                         num_buckets: int = 16, max_iters: int = 64,
+                         local_threshold: int = 2_000_000) -> pd.DataFrame:
+    """Connected components of an undirected edge list; each node gets
+    ``comp_id`` = the minimum node id in its component.  The near-dup
+    cluster collapse: feed it verified near-dup pairs and keep one doc per
+    comp_id.
+
+    Edge lists are sparse relative to the corpus (only docs in ≥1 pair
+    appear), so below ``local_threshold`` edges the vectorized local
+    kernel runs on the driver — the same size-guard pattern as the
+    broadcast join (pipelines.queries.revenue_by_nation).  Above it, the
+    distributed hash-min iteration: labels live as a Dataset, each round
+    joins edge endpoints to current labels (one bucketed shuffle), takes
+    the per-node min (one bucketed groupby), then POINTER-JUMPS
+    (lbl ← lbl[lbl], one self-join of the labels table — valid because
+    every label is itself a node id and labels are monotone
+    non-increasing), and stops when the global label sum is unchanged
+    (labels only ever decrease, so sum is a fixpoint witness).  The jump
+    halves the remaining path every round, so rounds = O(log diameter)
+    instead of O(diameter) — the difference between ~5 and ~50 all-to-all
+    exchanges on a chain-shaped dup cluster.  (Same doubling idea as
+    large-star/small-star — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14.)"""
+    import ray.data  # noqa: F401  (Dataset type comes in via duck typing)
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "comp_id": pd.Series([], dtype="int64"),
+        })
+    if n_edges <= local_threshold:
+        e = edges.select_columns([src, dst]).to_pandas()
+        return _local_components(
+            e[src].to_numpy(np.int64), e[dst].to_numpy(np.int64)
+        )
+
+    # ---- distributed hash-min ------------------------------------------
+    def und(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": np.concatenate([a, b]),
+            "nbr": np.concatenate([b, a]),
+        })
+
+    e2 = edges.map_batches(und, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    # labels start as own id (distinct nodes via bucketed distinct)
+    labels = bucketed_groupby(
+        e2.select_columns(["node"]), ["node"], {"lbl": ("node", "min")},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def lbl_sum(ds) -> int:
+        return int(ds.map_batches(
+            lambda df: pd.DataFrame({"s": [df["lbl"].sum()]}),
+            batch_format="pandas",
+        ).to_pandas()["s"].sum())
+
+    from .joins import bucketed_inner_join
+
+    def as_kv(ds, key_col: str, val_col: str, out_val: str):
+        return ds.map_batches(
+            lambda df, k=key_col, v=val_col, o=out_val: pd.DataFrame(
+                {"k": df[k].astype("int64"), o: df[v].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+
+    prev = lbl_sum(labels)
+    for _ in range(max_iters):
+        # candidate labels for each node: its neighbors' current labels —
+        # join e2.nbr → labels.node (rename so the join key lines up)
+        nbr_lbl = bucketed_inner_join(
+            e2.map_batches(
+                lambda t: pa.table({"k": t["nbr"], "node": t["node"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            as_kv(labels, "node", "lbl", "lbl"),
+            "k", ["node"], ["lbl"], num_buckets=num_buckets,
+        ).select_columns(["node", "lbl"])
+        # materialize: the self-join below reads `labels` twice, and a lazy
+        # Dataset would re-execute the whole groupby once per branch.
+        # repartition first: shuffle stages emit one output block per INPUT
+        # block, and the self-join doubles the label block count, so without
+        # a cap the block count compounds ~4× per round and scheduling
+        # overhead, not data, dominates (measured 18 → 78 → 318 blocks and
+        # 3 s → 30 s → 230 s rounds on a 23-node graph).
+        labels = bucketed_groupby(
+            nbr_lbl.union(labels.select_columns(["node", "lbl"])),
+            ["node"], {"lbl": ("lbl", "min")}, num_buckets=num_buckets,
+        ).repartition(num_buckets).materialize()
+        # pointer jump: lbl ← lbl[lbl].  Every label IS a node id and every
+        # node has exactly one labels row, so the self-join matches 1:1.
+        labels = bucketed_inner_join(
+            as_kv(labels, "lbl", "node", "node"),
+            as_kv(labels, "node", "lbl", "lbl"),
+            "k", ["node"], ["lbl"], num_buckets=num_buckets,
+        ).select_columns(["node", "lbl"]).repartition(num_buckets).materialize()
+        cur = lbl_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    # distributed path returns the labels DATASET (doc_id, comp_id) — node
+    # count can exceed driver memory; the caller joins/writes it streamed
+    return labels.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["node"].astype("int64"),
+            "comp_id": df["lbl"].astype("int64"),
+        }),
+        batch_format="pandas",
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def bucketed_inner_join(left, right, key: str, left_cols: list[str],
@@ -109,9 +110,13 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
         make_tag(1, right_cols, l_types), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def merge(df: pd.DataFrame) -> pa.Table:
-        l = df[df["__side"] == 0][[key] + left_cols]
-        r = df[df["__side"] == 1][[key] + right_cols]
+    def merge(t: pa.Table) -> pa.Table:
+        # slice the two sides in ARROW before pandas: converting the whole
+        # union block at once turns every typed-null payload column into
+        # float64, silently corrupting int64 values beyond 2^53 (hash ids)
+        side = t["__side"]
+        l = t.filter(pc.equal(side, 0)).select([key] + left_cols).to_pandas()
+        r = t.filter(pc.equal(side, 1)).select([key] + right_cols).to_pandas()
         out = l.merge(r, on=key, how="inner")
         # plain Arrow out: pandas schema metadata (a dict) breaks Ray's
         # block-schema hashing and spams reduce-stage warnings
@@ -120,7 +125,104 @@ def bucketed_inner_join(left, right, key: str, left_cols: list[str],
     return (
         l_tagged.union(r_tagged)
         .groupby("bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def bucketed_asof_join(left, right, key: str, on: str,
+                       left_cols: list[str], right_cols: list[str],
+                       num_buckets: int = 32, right_on_name: str | None = None):
+    """Keyed as-of (backward) join: for each LEFT row, the RIGHT row with
+    the same ``key`` and the greatest ``on`` ≤ the left row's ``on`` —
+    SQL ``ASOF LEFT JOIN`` (DuckDB) / "most recent fact at event time".
+    The attribution/point-in-time-enrichment shape a log pipeline needs
+    (e.g. each purchase ↔ the user's latest preceding click), which plain
+    equi-joins can't express.
+
+    Both sides large: the same one-shuffle union-tag exchange as
+    ``bucketed_inner_join`` (bucket = hash(key) % B).  Partitioning
+    assumption: one key's rows land in one task — range-split or salt a
+    pathologically hot key first (the flagship's hot-sink pattern).
+    Within a bucket the match is ONE ``pd.merge_asof`` C kernel over all
+    of the bucket's keys.
+
+    Unmatched left rows keep typed nulls for the right columns.  Output:
+    ``[key, on] + left_cols + [right_on_name or f"{on}_r"] + right_cols``.
+    Tie determinism: several right rows sharing (key, on) are ordered by
+    ``[on] + right_cols`` before the kernel, so the surviving row is
+    deterministic regardless of block arrival order."""
+    left_cols = [c for c in left_cols if c not in (key, on)]
+    right_cols = [c for c in right_cols if c not in (key, on)]
+    on_r = right_on_name or f"{on}_r"
+
+    def _types(ds, cols):
+        sch = ds.schema()
+        out = {}
+        for c in cols:
+            t = sch.types[sch.names.index(c)]
+            if isinstance(t, pa.DataType):
+                out[c] = t
+            elif t == np.dtype(object):
+                out[c] = pa.string()
+            else:
+                out[c] = pa.from_numpy_dtype(t)
+        return out
+
+    l_types = _types(left, left_cols)
+    r_types = _types(right, right_cols)
+    union_payload = left_cols + right_cols
+
+    def make_tag(side: int, own: list[str], other_types: dict):
+        def tag(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {key: t[key], on: t[on]}
+            for c in union_payload:
+                out[c] = t[c] if c in own else pa.nulls(n, other_types[c])
+            out["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out["bucket"] = pa.array((k % num_buckets).astype(np.int32))
+            return pa.table(out)
+
+        return tag
+
+    l_tagged = left.select_columns([key, on] + left_cols).map_batches(
+        make_tag(0, left_cols, r_types), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    r_tagged = right.select_columns([key, on] + right_cols).map_batches(
+        make_tag(1, right_cols, l_types), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        # Arrow-slice each side before pandas (see bucketed_inner_join's
+        # merge note — whole-block conversion degrades int64 to float64)
+        side = t["__side"]
+        l = (
+            t.filter(pc.equal(side, 0)).select([key, on] + left_cols)
+            .to_pandas().sort_values(on, kind="mergesort")
+        )
+        r = (
+            t.filter(pc.equal(side, 1)).select([key, on] + right_cols)
+            .to_pandas().sort_values([on] + right_cols, kind="mergesort")
+            .rename(columns={on: on_r})
+        )
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=on_r, by=key, direction="backward"
+        )
+        # unmatched left rows put NaN into integer right payloads; pandas'
+        # nullable Int64 keeps them exact int64-with-null through Arrow
+        for c, t_ in r_types.items():
+            if pa.types.is_integer(t_):
+                out[c] = out[c].astype("Int64")
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        l_tagged.union(r_tagged)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -175,11 +277,15 @@ def _bucketed_membership_join(left, right, key: str, left_cols: list[str],
         tag_right, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def filt(df: pd.DataFrame) -> pa.Table:
-        l = df[df["__side"] == 0]
-        members = df[df["__side"] == 1][key].unique()
+    def filt(t: pa.Table) -> pa.Table:
+        # Arrow-slice before pandas (see bucketed_inner_join's merge note)
+        side = t["__side"]
+        l = t.filter(pc.equal(side, 0)).select([key] + left_cols).to_pandas()
+        members = (
+            t.filter(pc.equal(side, 1))[key].to_numpy(zero_copy_only=False)
+        )
         mask = l[key].isin(members)
-        out = l[mask if keep_members else ~mask][[key] + left_cols]
+        out = l[mask if keep_members else ~mask]
         return pa.Table.from_pandas(
             out, preserve_index=False
         ).replace_schema_metadata(None)
@@ -187,7 +293,7 @@ def _bucketed_membership_join(left, right, key: str, left_cols: list[str],
     return (
         l_tagged.union(r_tagged)
         .groupby("bucket")
-        .map_groups(filt, batch_format="pandas")
+        .map_groups(filt, batch_format="pyarrow")
     )
 
 

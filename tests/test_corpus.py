@@ -1,0 +1,166 @@
+"""Corpus-curation operators (functions/corpus.py) and the as-of join
+(functions/joins.py) against independent in-process ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from log_aggregator_ray.functions import corpus
+from log_aggregator_ray.functions.joins import bucketed_asof_join
+
+
+def test_asof_join_matches_pandas():
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 900
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, n_l).astype("int64"),
+        "ts": rng.integers(0, 10_000, n_l).astype("int64"),
+        "lv": rng.integers(0, 1 << 30, n_l).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 25, n_r).astype("int64"),
+        "ts": rng.integers(0, 10_000, n_r).astype("int64"),
+        # beyond 2^53: catches any float64 round-trip in the join kernel
+        "rv": (rng.integers(0, 1 << 30, n_r).astype("int64") + (1 << 60)),
+    })
+    got = (
+        bucketed_asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            "k", "ts", ["lv"], ["rv"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values(["ts", "rv"], kind="mergesort").rename(
+            columns={"ts": "ts_r"}
+        ),
+        left_on="ts", right_on="ts_r", by="k", direction="backward",
+    ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    exp["rv"] = exp["rv"].astype("Int64")
+
+    assert sorted(got.columns) == sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    # unmatched left rows survive with nulls; matched int64 payloads exact
+    assert got["ts_r"].isna().any()
+    matched = got["rv"].dropna()
+    assert len(matched) and (matched.astype("int64") >= (1 << 60)).all()
+
+
+def test_top_tokens_matches_pandas():
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "a mat and a dog and a cat",
+        "",
+        "THE The the",
+    ]
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(3)
+    got = corpus.top_tokens(ds, k=4, num_buckets=8)
+
+    toks = pd.Series(
+        [w for t in texts for w in pd.Series([t.lower()]).str.split(r"[^a-z0-9]+")[0] if w]
+    )
+    exp = (
+        toks.value_counts().rename_axis("token").reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(4).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_grouped_row_topk_matches_pandas():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 12, 2000).astype("int64"),
+        # unique order column → deterministic quota selection
+        "o": rng.permutation(2000).astype("int64"),
+        "p": rng.integers(0, 100, 2000).astype("int64"),
+    })
+    got = (
+        corpus.grouped_row_topk(
+            rd.from_pandas(df).repartition(7), "g", "o", ["g", "o", "p"], 15,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "o"]).groupby("g", sort=False).head(15)
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "o", "p"]], exp, check_dtype=False)
+    assert got.groupby("g").size().max() <= 15
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _edge_frame(rng, n_nodes, n_edges):
+    u = rng.integers(0, n_nodes, n_edges).astype("int64")
+    v = rng.integers(0, n_nodes, n_edges).astype("int64")
+    keep = u != v
+    return pd.DataFrame({"id_a": u[keep], "id_b": v[keep]})
+
+
+def test_connected_components_local_matches_union_find():
+    rng = np.random.default_rng(11)
+    e = _edge_frame(rng, 300, 260)  # sparse → many components, some chains
+    got = corpus.connected_components(rd.from_pandas(e).repartition(3))
+    exp = _uf_components(list(zip(e["id_a"], e["id_b"])))
+    got_map = dict(zip(got["doc_id"], got["comp_id"]))
+    assert got_map == exp
+
+
+def test_connected_components_distributed_matches_local():
+    # chains are the hash-min worst case: pointer jumping must converge in
+    # ~log2(len) rounds, not len — each round is a full exchange, so this
+    # also keeps the test fast at num_cpus=4.
+    rng = np.random.default_rng(13)
+    chains = [(i, i + 1) for i in range(100, 115)] + \
+             [(i, i + 1) for i in range(200, 215)]
+    extra = [(300, 301), (301, 302), (302, 300), (400, 401)]
+    rand = _edge_frame(rng, 80, 60)
+    e = pd.concat([
+        pd.DataFrame(chains + extra, columns=["id_a", "id_b"]),
+        rand,
+    ]).astype("int64")
+    ds = rd.from_pandas(e).repartition(3)
+    local = corpus.connected_components(ds)
+    dist = corpus.connected_components(
+        ds, num_buckets=2, local_threshold=0
+    )
+    if not isinstance(dist, pd.DataFrame):
+        dist = dist.to_pandas()
+    l = local.sort_values("doc_id").reset_index(drop=True)
+    d = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(l, d, check_dtype=False)
+
+
+def test_connected_components_empty_edges():
+    empty = rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                         "id_b": pd.Series([], dtype="int64")}))
+    out = corpus.connected_components(empty)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "comp_id"]
