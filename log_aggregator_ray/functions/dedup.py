@@ -421,9 +421,19 @@ def neardup_verified_pairs(docs_ds, pairs_ds=None, k: int = 5,
         num_buckets=num_buckets,
     )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def _typed(rows: list) -> pa.Table:
+        # typed even when empty: an empty object-dtype pandas block makes
+        # Ray's block-size estimator spam "Error calculating size" warnings
+        a, b, j = zip(*rows) if rows else ((), (), ())
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "jaccard": pa.array(j, pa.float64()),
+        })
+
+    def verify(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return _typed([])
         # both text columns hashed in ONE vectorized pass each; per pair
         # only a C-level unique+intersect over the uint64 shingle hashes
         # (hash collisions inside a ~500-shingle set are ~1e-14 — the
@@ -441,7 +451,7 @@ def neardup_verified_pairs(docs_ds, pairs_ds=None, k: int = 5,
             if j >= threshold:
                 a, b = int(ids_a[i]), int(ids_b[i])
                 rows.append((min(a, b), max(a, b), round(j, 6)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        return _typed(rows)
 
     return with_ab.map_batches(verify, batch_format="pandas")
 
