@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.aggregate import _key_bucket, bucketed_groupby
+from ..stages.aggregate import _arrow_clean, _key_bucket, bucketed_groupby
 
 # Tokenizer used by both the Ray op and its SQL oracle: RE2 on both engines
 # (pyarrow split_pattern_regex / DuckDB string_split_regex), so boundaries
@@ -83,11 +83,13 @@ def grouped_row_topk(ds, key: str, order_col: str, cols: list[str], k: int,
     cols = [c for c in cols if c not in (key, order_col)]
     sel = [key, order_col] + cols
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
+    def part(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values([key, order_col],
                             ascending=[True, ascending], kind="mergesort")
         out = df.groupby(key, sort=False).head(k)
-        return out.assign(__bucket=_key_bucket(out, [key], num_buckets))
+        return _arrow_clean(
+            out.assign(__bucket=_key_bucket(out, [key], num_buckets))
+        )
 
     def final(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns="__bucket").sort_values(
@@ -104,6 +106,46 @@ def grouped_row_topk(ds, key: str, order_col: str, cols: list[str], k: int,
         .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def stratified_sample(ds, strata_col: str, rates: dict,
+                      id_col: str = "doc_id", default_rate: float = 0.0,
+                      method: str = "fast"):
+    """Deterministic per-stratum downsampling — corpus mixing / domain
+    rebalancing: keep a row iff hash(id) maps below its stratum's rate.
+    Same id → same decision on every run, machine and shard (unlike
+    ``Dataset.random_sample``), so re-runs and resumed partitions agree,
+    and a weighted multi-source mix is just rates keyed by source.
+    Embarrassingly parallel: one filter per batch, no shuffle.
+
+    method="fast" (primary): one vectorized siphash over the id column
+    (``stages.route.stable_hash``, same convention as
+    ``textstats.add_split_column_fast``), threshold at rate×10000.
+    method="md5": per-row md5 → first-8-hex-digits / 2^32 — slower, kept
+    because DuckDB reproduces it exactly (the live SQL oracle); pass
+    exactly-representable rates (k/2^n) so float thresholds are exact on
+    both engines."""
+    import hashlib
+
+    def keep(t: pa.Table) -> pa.Table:
+        strata = t[strata_col].to_pandas()
+        rate = strata.map(rates).fillna(default_rate).to_numpy(np.float64)
+        if method == "fast":
+            from ..stages.route import stable_hash
+
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            h = stable_hash(ids.astype(object)).astype(np.uint64)
+            mask = (h % np.uint64(10_000)) < (rate * 10_000).astype(np.uint64)
+        else:
+            u32 = np.fromiter(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 for i in t[id_col].to_pylist()),
+                dtype=np.uint64, count=t.num_rows,
+            )
+            mask = u32 < (rate * float(2 ** 32)).astype(np.uint64)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

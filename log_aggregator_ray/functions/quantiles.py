@@ -114,10 +114,10 @@ def exact_group_quantiles(ds, group_col: str, value_col: str,
         return gi, v, gi * bins + b
 
     # ---- pass 2: sparse histogram partials → per-hash-bucket locate ------
-    def hist_part(t: pa.Table) -> pd.DataFrame:
+    def hist_part(t: pa.Table) -> pa.Table:
         gi, _v, key = keyed(t)
         uk, cnt = np.unique(key, return_counts=True)  # sparse (ADVICE r2)
-        return pd.DataFrame({
+        return pa.table({
             "key": uk, "cnt": cnt,
             "__bucket": (uk // bins) % num_buckets,
         })
@@ -145,10 +145,10 @@ def exact_group_quantiles(ds, group_col: str, value_col: str,
     need_ref = ray.put(need_keys)
     targets_ref = ray.put(targets)
 
-    def fetch_part(t: pa.Table) -> pd.DataFrame:
+    def fetch_part(t: pa.Table) -> pa.Table:
         gi, v, key = keyed(t)
         keep = np.isin(key, ray.get(need_ref))
-        return pd.DataFrame({
+        return pa.table({
             "g": gi[keep], "b": key[keep] % bins, "v": v[keep],
             "__bucket": (gi[keep] % num_buckets).astype(np.int64),
         })

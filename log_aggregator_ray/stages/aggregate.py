@@ -89,6 +89,17 @@ def _key_bucket(df: pd.DataFrame, keys, num_buckets: int) -> np.ndarray:
     return (h % num_buckets).astype(np.int32).to_numpy()
 
 
+def _arrow_clean(df: pd.DataFrame) -> pa.Table:
+    """pandas → Arrow with NO schema metadata.  Every block that feeds a
+    shuffle must go through this (or be a plain pa.table already): Ray
+    converts pandas blocks via from_pandas, whose embedded pandas metadata
+    makes the sort stage's schema-dedup hashing fail ("Failed to hash the
+    schemas … unhashable type: 'dict'") on every merge/reduce task."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 def bucketed_groupby(ds, keys, aggs: dict, num_buckets: int = 64):
     """Distributed groupby for HIGH-cardinality keys with no per-group
     Python and no driver combine (the scale-safe complement to
@@ -99,15 +110,17 @@ def bucketed_groupby(ds, keys, aggs: dict, num_buckets: int = 64):
     the exchange moves partial rows only, never raw rows."""
     uniq = _agg_specs(keys, aggs)
 
-    def part(t: pa.Table) -> pd.DataFrame:
+    def part(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate(uniq).to_pandas()
         g["__bucket"] = _key_bucket(g, keys, num_buckets)
-        return g
+        return _arrow_clean(g)
 
     partial = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return _combine_partials(df.drop(columns="__bucket"), keys, aggs)
+    def combine(df: pd.DataFrame) -> pa.Table:
+        return _arrow_clean(
+            _combine_partials(df.drop(columns="__bucket"), keys, aggs)
+        )
 
     return partial.groupby("__bucket").map_groups(combine, batch_format="pandas")
 
@@ -122,16 +135,16 @@ def bucketed_first_by(ds, key, order: list[str], num_buckets: int = 64,
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order).drop_duplicates(key, keep="first")
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
+    def part(df: pd.DataFrame) -> pa.Table:
         out = pick(df)
         out = out.assign(__bucket=_key_bucket(out, [key], num_buckets))
-        return out
+        return _arrow_clean(out)
 
     partial = ds.map_batches(part, batch_format="pandas")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame) -> pa.Table:
         out = pick(df.drop(columns="__bucket"))
-        return out[columns] if columns else out
+        return _arrow_clean(out[columns] if columns else out)
 
     return partial.groupby("__bucket").map_groups(final, batch_format="pandas")
 

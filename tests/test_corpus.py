@@ -101,6 +101,41 @@ def test_grouped_row_topk_matches_pandas():
     assert got.groupby("g").size().max() <= 15
 
 
+def test_stratified_sample_deterministic_and_md5_exact():
+    import hashlib
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype="int64"),
+        "lang": rng.choice(["en", "de", "fr"], 1000),
+    })
+    rates = {"en": 0.5, "de": 1.0}
+    for method in ("fast", "md5"):
+        a = corpus.stratified_sample(
+            rd.from_pandas(df).repartition(4), "lang", rates,
+            default_rate=0.25, method=method,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # sharding-invariant: same decisions with a different partitioning
+        b = corpus.stratified_sample(
+            rd.from_pandas(df).repartition(9), "lang", rates,
+            default_rate=0.25, method=method,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # de is kept wholesale; en/fr genuinely downsampled
+        n_de = (df["lang"] == "de").sum()
+        assert (a["lang"] == "de").sum() == n_de
+        assert 0 < (a["lang"] == "en").sum() < (df["lang"] == "en").sum()
+        if method == "md5":
+            exp_rate = df["lang"].map(rates).fillna(0.25)
+            u32 = df["doc_id"].map(
+                lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            )
+            exp = df[u32 < (exp_rate * 2 ** 32).astype("uint64")]
+            pd.testing.assert_frame_equal(
+                a, exp.reset_index(drop=True), check_dtype=False
+            )
+
+
 def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 
