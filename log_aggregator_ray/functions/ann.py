@@ -77,7 +77,11 @@ def brute_force_topk(ds, query_vec, k: int = 10, col: str = "embedding",
             .sort_values(["cos_sim", id_col], ascending=[False, True])
             .head(k)
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata=None: pandas metadata on sort-input schemas breaks the
+        # sort stage's schema-dedup hashing (log spam on every merge task)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     pruned = scored.map_batches(local_topk, batch_format="pyarrow")
     return pruned.sort(["cos_sim", id_col], descending=[True, False]).limit(k)

@@ -148,6 +148,104 @@ def stratified_sample(ds, strata_col: str, rates: dict,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def budget_select(ds, strata_col: str, weight_col: str, order_col: str,
+                  budgets: dict, block_size: int = 4096):
+    """Select rows per stratum, in ``order_col`` order, until the stratum's
+    cumulative ``weight_col`` budget is spent (row kept iff its INCLUSIVE
+    running sum ≤ budget) — the token-budget cutoff of a data-mixing recipe
+    ("2B tokens of lang X, ordered by quality/id").
+
+    A naive global windowed cumsum needs a total sort per stratum; this is
+    the scale-correct two-pass form (the flagship's turn-block pattern):
+
+      1. one partial-agg pass → per-(stratum, order-block) weight sums,
+         O(strata × blocks) rows to the driver;
+      2. driver prefix-sums each stratum → every block is fully-kept,
+         fully-dropped, or THE boundary block, each with its remaining
+         budget (broadcast, O(strata));
+      3. one filter pass keeps/drops whole blocks vectorized; only rows of
+         a boundary block (≤ block_size × strata rows) take the exact
+         per-stratum cumsum, in one tiny groupby.
+
+    ``order_col`` must be numeric and unique per row (ids); blocks are
+    value ranges ``order // block_size``, so per-block sums are exact
+    regardless of sharding."""
+    from .joins import bucketed_inner_join  # noqa: F401  (doc cross-ref)
+    from ..stages.aggregate import partial_groupby
+
+    import ray as _ray
+
+    def add_block(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__block", pa.array(o // block_size))
+
+    blocked = ds.map_batches(
+        add_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = partial_groupby(
+        blocked, [strata_col, "__block"], {"w": (weight_col, "sum")}
+    ).sort_values([strata_col, "__block"])
+
+    # driver: per-stratum prefix → full-keep cutoff + boundary budget
+    keep_upto: dict = {}      # stratum → last fully-kept block (exclusive)
+    boundary: dict = {}       # stratum → (boundary block, budget left)
+    for s, g in sums.groupby(strata_col, sort=False):
+        budget = budgets.get(s)
+        if budget is None:
+            continue
+        cum = g["w"].cumsum()
+        full = g[cum <= budget]
+        keep_upto[s] = int(full["__block"].iloc[-1]) + 1 if len(full) else -1
+        rest = g[cum > budget]
+        if len(rest):
+            spent = int(full["w"].sum()) if len(full) else 0
+            boundary[s] = (int(rest["__block"].iloc[0]), budget - spent)
+    plan_ref = _ray.put((keep_upto, boundary))
+
+    def cut(t: pa.Table) -> pa.Table:
+        keep_upto_, boundary_ = _ray.get(plan_ref)
+        s = t[strata_col].to_pandas()
+        blk = t["__block"].to_numpy(zero_copy_only=False)
+        upto = s.map(keep_upto_).fillna(-1).to_numpy(np.int64)
+        bnd = s.map({k: b for k, (b, _) in boundary_.items()}).fillna(
+            -2
+        ).to_numpy(np.int64)
+        full_keep = blk < upto
+        on_boundary = blk == bnd
+        kept = t.filter(pa.array(full_keep)).drop_columns(["__block"])
+        edge = t.filter(pa.array(on_boundary))
+        return kept, edge
+
+    # pass 3a: whole-block keeps stream straight through
+    kept = blocked.map_batches(
+        lambda t: cut(t)[0], batch_format="pyarrow", zero_copy_batch=True
+    )
+    # pass 3b: boundary rows (tiny) → exact per-stratum cumsum in one task
+    edge = blocked.map_batches(
+        lambda t: cut(t)[1], batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    _, boundary_map = keep_upto, boundary
+    if len(edge):
+        edge = edge.sort_values([strata_col, order_col], kind="mergesort")
+        # every edge row's stratum has a boundary entry by construction, so
+        # the map is total and the comparison stays exact int64
+        left = edge[strata_col].map(
+            {k: r for k, (_, r) in boundary_map.items()}
+        ).to_numpy(np.int64)
+        cum = edge.groupby(strata_col, sort=False)[weight_col].cumsum()
+        edge = edge[cum.to_numpy(np.int64) <= left]
+        edge = edge.drop(columns="__block")
+
+    import ray.data as rd
+
+    if len(edge):
+        from ..stages.aggregate import _arrow_clean
+
+        return kept.union(rd.from_arrow(_arrow_clean(edge)))
+    return kept
+
+
 # ---------------------------------------------------------------------------
 # connected components (near-dup cluster collapse)
 # ---------------------------------------------------------------------------

@@ -32,11 +32,15 @@ TOOLS = pd.DataFrame(
 
 
 def roles_table() -> pa.Table:
-    return pa.Table.from_pandas(ROLES, preserve_index=False)
+    return pa.Table.from_pandas(
+        ROLES, preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 def tools_table() -> pa.Table:
-    return pa.Table.from_pandas(TOOLS, preserve_index=False)
+    return pa.Table.from_pandas(
+        TOOLS, preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 def roles_case_sql() -> str:

@@ -136,6 +136,34 @@ def test_stratified_sample_deterministic_and_md5_exact():
             )
 
 
+def test_budget_select_matches_windowed_cumsum():
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(3000).astype("int64"),
+        "lang": rng.choice(["en", "de", "fr"], 3000),
+        "w": rng.integers(1, 200, 3000).astype("int64"),
+    })
+    budgets = {"en": 30_000, "de": 5_000}  # fr absent → dropped wholesale
+    got = (
+        corpus.budget_select(
+            rd.from_pandas(df).repartition(7), "lang", "w", "doc_id",
+            budgets, block_size=100,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = df.sort_values("doc_id").copy()
+    exp["cum"] = exp.groupby("lang")["w"].cumsum()
+    exp["budget"] = exp["lang"].map(budgets).fillna(0)
+    exp = exp[exp["cum"] <= exp["budget"]][["doc_id", "lang", "w"]]
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "w"]],
+        exp.reset_index(drop=True), check_dtype=False,
+    )
+    assert (got["lang"] != "fr").all()
+    for lang, b in budgets.items():
+        assert got.loc[got["lang"] == lang, "w"].sum() <= b
+
+
 def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 
