@@ -288,16 +288,12 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
     import pyarrow.compute as pc
 
     def scan_file(f: str) -> np.ndarray:
-        """Pass A unit: the sorted unique turn_idx values of ONE spill file.
-        Per-FILE (not per-block) so scans run the moment each file lands
-        during phase 1 — the gate is already resolved when phase 1 closes,
-        instead of serializing a scan round in front of the emits.  Runs on
-        DRIVER threads (pyarrow releases the GIL): each scan is a ~5 ms
-        one-column read, the driver is otherwise idle behind the phase-1
-        barrier, and hot pseudo-buckets are few by construction — remote
-        tasks here would just thrash the worker pool (measured: a wave of
-        num_cpus=0 scan tasks mid-phase-1 spawned ~100 extra workers and
-        DOUBLED the flagship wall)."""
+        """Pass A fallback: the sorted unique turn_idx values of ONE file.
+        Fresh spill files carry this as a map-side summary computed by the
+        spiller (zero extra I/O — see make_spiller); this direct read is
+        only needed for an incremental merge's PRIOR OUTPUT parts, of which
+        there is one per turn block — a ~5 ms one-column read each, done
+        inline in the gate loop."""
         t = _read_spill_file(f, columns=["turn_idx"])
         return np.unique(
             t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -313,12 +309,19 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             "first_missing": int(u[gaps[0]] + 1) if gaps.size else None,
         }
 
-    def emit_block(files: list[str], name: str, G: int | None) -> dict:
-        """Pass B: dedup + global label + derive + write, one turn range."""
+    def emit_block(files: list[str], name: str, G: int | None,
+                   *bufs) -> dict:
+        """Pass B: dedup + global label + derive + write, one turn range.
+        Inputs arrive as spill/prior-part FILES and/or object-store IPC
+        buffers (``bufs`` ride as top-level task args so Ray resolves the
+        refs before the task runs — locality-aware on a cluster)."""
         _t0 = time.perf_counter()
         tabs = []
         for f in files:
             t = _read_spill_file(f)
+            tabs.append(t.select([c for c in EXCHANGE_COLS if c in t.column_names]))
+        for buf in bufs:
+            t = _unship(buf)
             tabs.append(t.select([c for c in EXCHANGE_COLS if c in t.column_names]))
         t = pa.concat_tables(tabs, promote_options="default")
         rows_in = t.num_rows
@@ -428,18 +431,24 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
         return pd.DataFrame([{"bucket": bucket, **payload}])
 
     class HotPipeline:
-        """Driver-side orchestration handles: per-FILE scans are submitted
-        WHILE phase 1 is still spilling (the gate resolves ~free at the
-        barrier), emits are submitted the moment a sink's gate resolves,
+        """Driver-side orchestration handles: fresh files' gate summaries
+        arrive as phase-1 map output (make_spiller), so every gate resolves
+        the instant the barrier closes; emits are submitted immediately,
         and finalize consumes the emit futures without driver round-trips."""
 
         def __init__(self):
             import ray
 
-            self.scan_file = scan_file        # driver-thread fn, see above
+            self.scan_file = scan_file        # prior-part fallback, see above
             self.block_info = block_info
             self.emit = ray.remote(emit_block)
-            self.finalize = ray.remote(finalize_bucket)
+            # finalize is the tail of the giant key's critical chain: with
+            # a whole-CPU request it queues up to a full normal-wave task
+            # (~1.4 s measured) behind phase 2's pool before its ~1 s of
+            # combine+write.  A fractional request lets it start the moment
+            # the last emit lands — one briefly-oversubscribed core on a
+            # worker, bounded by the (few, by construction) hot sinks.
+            self.finalize = ray.remote(num_cpus=0.5)(finalize_bucket)
 
         @staticmethod
         def group_files(spill_dir: str,
@@ -657,13 +666,15 @@ def make_spiller(out_dir: str, num_buckets: int = 1 << 30,
     # the box is memory-bandwidth-bound, and on a real cluster the exchange
     # is network-bound — lz4 is the right point at every scale that
     # matters.)
-    def write_slice(part: pa.Table, bk: int, prefix: str = "") -> None:
+    def write_slice(part: pa.Table, bk: int, prefix: str = "") -> str:
         key = _slice_key(part, bk)
         d = os.path.join(spill_root, f"bucket={bk:05d}")
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{prefix}{key}.tmp-{os.getpid()}")
         pf.write_feather(part, tmp, compression="lz4")
-        os.replace(tmp, os.path.join(d, f"{prefix}{key}.feather"))
+        final = os.path.join(d, f"{prefix}{key}.feather")
+        os.replace(tmp, final)
+        return final
 
     def spill(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy()
@@ -674,6 +685,14 @@ def make_spiller(out_dir: str, num_buckets: int = 1 << 30,
         bs = b[order]
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         ends = np.append(starts[1:], len(bs))
+        # Per-hot-file gate summaries, computed HERE where the rows are
+        # already in memory (a classic map-side combiner): the gate pass
+        # needs each hot file's unique turn set, and re-reading ~10⁴ tiny
+        # files post-barrier was the phase-boundary bottleneck (measured:
+        # 4 driver scan threads fell ~1.5 s behind a 32-CPU phase 1).
+        sm_file: list[str] = []
+        sm_block: list[int] = []
+        sm_turns: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             part = ts.slice(s, e - s)
             bk = int(bs[s])
@@ -689,10 +708,108 @@ def make_spiller(out_dir: str, num_buckets: int = 1 << 30,
             s2 = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
             e2 = np.append(s2[1:], len(t2))
             for ss, ee in zip(s2, e2):
-                write_slice(p2.slice(ss, ee - ss), bk, f"tb{int(t2[ss]):05d}-")
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+                blk = int(t2[ss])
+                path = write_slice(p2.slice(ss, ee - ss), bk, f"tb{blk:05d}-")
+                sm_file.append(path)
+                sm_block.append(blk)
+                sm_turns.append(np.unique(turns[o2[ss:ee]]))
+        return pa.table({
+            "file": pa.array(sm_file, pa.string()),
+            "block": pa.array(sm_block, pa.int64()),
+            "turns": pa.array(
+                [a.tolist() for a in sm_turns], pa.list_(pa.int64())
+            ),
+        })
 
     return spill
+
+
+def make_exchange_map(num_buckets: int, hot_hashes, committed: set[int],
+                      turn_block: int = TURN_BLOCK, router=sink_expr):
+    """Phase-1 map task for the OBJECT-STORE exchange (the default): read a
+    group of input parts (EXCHANGE_COLS only — pruned at the parquet read),
+    bucket the rows, and ``ray.put`` one IPC-compacted slice per bucket
+    (per (bucket, turn-block) for hot pseudo-buckets).  Returns
+    ``(norm_refs, hot_refs, summaries, sizes)``:
+
+      norm_refs   {bucket: ObjectRef[ipc buffer]}
+      hot_refs    {(bucket, block): ObjectRef[ipc buffer]}
+      summaries   [(bucket, block, sorted-unique turn_idx array)] — the
+                  map-side gate combiner (see the hot-sink header note)
+      sizes       {bucket: ipc bytes} for largest-first phase-2 launch
+
+    Rows of already-committed buckets (resume) are dropped here, before any
+    bytes ship.  Slices are IPC-serialized (``_ship``) because a pickled
+    zero-copy table slice drags its parent's full buffers (measured 100×);
+    they are NOT compressed — on one node the object store is shared memory
+    (compression is pure extra CPU), and on a cluster Ray moves objects
+    only to the tasks that consume them.
+
+    Lifetime note: ``ray.put`` objects are owned by the map worker that
+    created them; every ref is consumed by phase 2 of the SAME run (the
+    window is seconds and workers holding owned objects are not reaped),
+    and a lost object fails the consuming task, whose rerun falls back to
+    the manifest-resume path — never silent data loss."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages.route import add_bucket_column
+
+    hot = np.sort(np.asarray(hot_hashes, dtype=np.uint64)) if (
+        hot_hashes is not None and len(hot_hashes)
+    ) else None
+    skip = np.array(sorted(committed), dtype=np.int64) if committed else None
+
+    def exchange_parts(paths: list[str]):
+        tabs = []
+        for p in paths:
+            sch = pq.read_schema(p)
+            cols = [c for c in EXCHANGE_COLS if c in sch.names]
+            tabs.append(
+                pq.read_table(p, columns=cols).replace_schema_metadata(None)
+            )
+        t = pa.concat_tables(tabs, promote_options="default")
+        t = add_bucket_column(t, num_buckets, router, hot)
+        b = t["bucket"].to_numpy()
+        if skip is not None:
+            keep_mask = ~np.isin(b, skip)
+            t = t.filter(pa.array(keep_mask))
+            b = b[keep_mask]
+        t = t.drop_columns(["bucket"])
+        if len(b) == 0:  # every row belonged to a committed bucket
+            return {}, {}, [], {}
+        order = np.argsort(b, kind="stable")
+        ts = t.take(pa.array(order))
+        bs = b[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.append(starts[1:], len(bs))
+        norm_refs: dict[int, object] = {}
+        hot_refs: dict[tuple[int, int], object] = {}
+        summaries: list[tuple[int, int, np.ndarray]] = []
+        sizes: dict[int, int] = {}
+        for s, e in zip(starts, ends):
+            part = ts.slice(s, e - s)
+            bk = int(bs[s])
+            if bk < num_buckets:
+                buf = _ship(part)
+                sizes[bk] = buf.size
+                norm_refs[bk] = ray.put(buf)
+                continue
+            turns = part["turn_idx"].to_numpy(zero_copy_only=False)
+            tb = (turns // turn_block).astype(np.int64)
+            o2 = np.argsort(tb, kind="stable")
+            p2 = part.take(pa.array(o2))
+            t2 = tb[o2]
+            s2 = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
+            e2 = np.append(s2[1:], len(t2))
+            for ss, ee in zip(s2, e2):
+                blk = int(t2[ss])
+                hot_refs[(bk, blk)] = ray.put(_ship(p2.slice(ss, ee - ss)))
+                summaries.append((bk, blk, np.unique(turns[o2[ss:ee]])))
+        return norm_refs, hot_refs, summaries, sizes
+
+    return exchange_parts
 
 
 def auto_buckets(input_path: str, target_bytes: int = 256 << 20,
@@ -734,15 +851,22 @@ def flagship_dataset(input_path: str, num_buckets: int = 64,
 def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                  enrich_concurrency=None, batch_size: int = 32768,
                  resume: bool = True, write_docs: bool = True,
-                 exchange: str = "spill", incremental: bool = True,
+                 exchange: str = "objstore", incremental: bool = True,
                  hot_sink_rows: int = HOT_SINK_ROWS,
                  turn_block: int = TURN_BLOCK) -> dict:
     """Execute the full pipeline with partitioned sinks + manifests.
 
-    ``exchange="spill"`` (default) uses the two-phase disk exchange (see
-    header comment above make_spiller for the measured rationale);
-    ``"raydata"`` uses ``groupby(bucket).map_groups`` — semantically
-    identical, kept for comparison and object-store-preferred deployments.
+    ``exchange="objstore"`` (default) is a two-phase exchange through the
+    Ray object store: phase-1 map tasks read part groups and ``ray.put``
+    one IPC slice per bucket (make_exchange_map); phase-2 tasks consume
+    exactly their bucket's refs — locality-aware on a cluster, zero-copy
+    on one node, no shared filesystem needed for the exchange (measured
+    vs the file spill: no encode/decode CPU, ~25% faster phase 1).
+    ``"spill"`` is the file-based variant (see make_spiller — useful when
+    exchange bytes far exceed object-store capacity and GRAFT_SPILL_ROOT
+    points at fast scratch); ``"raydata"`` uses
+    ``groupby(bucket).map_groups`` — semantically identical, kept for
+    comparison.
     ``num_buckets=None`` sizes buckets from the input (auto_buckets).
     ``incremental=True`` (with resume) processes ONLY parquet parts added
     since the last committed run, merging new rows into the affected
@@ -754,8 +878,10 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
 
     from .. import tuning
 
-    if exchange not in ("spill", "raydata"):
-        raise ValueError(f"exchange must be 'spill' or 'raydata', got {exchange!r}")
+    if exchange not in ("objstore", "spill", "raydata"):
+        raise ValueError(
+            f"exchange must be 'objstore', 'spill' or 'raydata', got {exchange!r}"
+        )
     tuning.configure()
     if num_buckets is None:
         num_buckets = auto_buckets(input_path)
@@ -775,14 +901,18 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         else set()
     )
 
-    ds = read_transcripts(plan.read_path or input_path)
-    ds = add_bucket(ds, num_buckets=num_buckets, hot_hashes=hot_hashes)
-    if committed:
-        ds = ds.map_batches(
-            make_skip_committed(committed),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    def build_ds():
+        """Lazy routed Dataset for the spill/raydata exchanges (objstore
+        reads + buckets inside its own map tasks)."""
+        ds = read_transcripts(plan.read_path or input_path)
+        ds = add_bucket(ds, num_buckets=num_buckets, hot_hashes=hot_hashes)
+        if committed:
+            ds = ds.map_batches(
+                make_skip_committed(committed),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return ds
 
     writer = make_bucket_writer(out_dir, write_docs=write_docs, gen=plan.gen)
     hot_writer = make_hot_processor(out_dir, write_docs=write_docs, gen=plan.gen)
@@ -805,79 +935,161 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             int(m.get("routed", 0)) + int(m.get("quarantined", 0))
         )
 
+    def _prior_state(bk: int) -> tuple[int, int, list[str]]:
+        import glob as globmod
+
+        if not (plan.merge and bk in prior):
+            return 0, 0, []
+        m = prior[bk]
+        pd_ = int(m.get("dup_dropped", 0))
+        pr_ = int(m.get("rows_in", 0)) - (
+            int(m.get("routed", 0)) + int(m.get("quarantined", 0))
+        )
+        parts_: list[str] = []
+        for kind in ("routed", "quarantine"):
+            parts_ += globmod.glob(os.path.join(
+                out_dir, kind, f"bucket={bk:05d}.*.parquet"
+            ))
+        return pd_, pr_, parts_
+
     phase_times: dict[str, float] = {}
-    if exchange == "spill":
+    if exchange == "objstore":
+        import glob as globmod
+        import re
+
         import ray
 
+        src = plan.read_path or input_path
+        if isinstance(src, (list, tuple)):
+            parts_in = sorted(src)
+        elif os.path.isdir(src):
+            parts_in = sorted(globmod.glob(
+                os.path.join(src, "**", "*.parquet"), recursive=True
+            ))
+        elif os.path.exists(src):
+            parts_in = [src]
+        else:
+            parts_in = []
+
+        t0 = time.perf_counter()
+        norm_refs: dict[int, list] = {}
+        hot_blocks: dict[int, dict[int, list]] = {}
+        turns_by_block: dict[tuple[int, int], list[np.ndarray]] = {}
+        sizes: dict[int, int] = {}
+        if parts_in:
+            n_cpus = tuning.available_cpus()
+            # one map wave (measured fastest at 32 CPUs: 32 tasks beat 64
+            # and 128 on the bench corpus), but never above ~256 MB of
+            # input per task — the map holds its group in heap
+            by_bytes = -(-sum(os.path.getsize(p) for p in parts_in)
+                         // (256 << 20))
+            n_tasks = min(len(parts_in), max(n_cpus, by_bytes))
+            chunks = [parts_in[i::n_tasks] for i in range(n_tasks)]
+            ex = ray.remote(make_exchange_map(
+                num_buckets, hot_hashes, committed, turn_block=turn_block
+            ))
+            for nr, hr, sums, sz in ray.get([ex.remote(c) for c in chunks]):
+                for bk, ref in nr.items():
+                    norm_refs.setdefault(bk, []).append(ref)
+                for (bk, blk), ref in hr.items():
+                    hot_blocks.setdefault(bk, {}).setdefault(
+                        blk, []
+                    ).append(ref)
+                for bk, blk, u in sums:
+                    turns_by_block.setdefault((bk, blk), []).append(
+                        np.asarray(u, dtype=np.int64)
+                    )
+                for bk, nb in sz.items():
+                    sizes[bk] = sizes.get(bk, 0) + nb
+        phase_times["phase1_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+
+        @ray.remote
+        def run_bucket(bk: int, refs: list):
+            tabs = [_unship(b) for b in ray.get(list(refs))]
+            fresh = pa.concat_tables(tabs, promote_options="default")
+            merged, pd_, pr_ = bucket_table(bk, fresh)
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
+
+        # hot pseudo-buckets FIRST: gates resolve instantly from the
+        # map-side summaries, so the giant key's emit blocks (the longest
+        # phase-2 chain) hit the pool ahead of the normal wave
+        hot_futs = []
+        hot_all = set(hot_blocks)
+        if plan.merge:  # a hot bucket may have prior rows but no new rows
+            hot_all |= {b for b in prior if b >= num_buckets}
+        for bk in sorted(hot_all):
+            _pd, _pr, pparts = _prior_state(bk)
+            prior_by_block: dict[int, list[str]] = {}
+            for p in pparts:
+                m = re.match(r"bucket=\d+\.(\d+)\.parquet$",
+                             os.path.basename(p))
+                if m:
+                    prior_by_block.setdefault(int(m.group(1)), []).append(p)
+            new_blocks = hot_blocks.get(bk, {})
+            blocks = sorted(set(new_blocks) | set(prior_by_block))
+            if not blocks:
+                continue
+            tg = time.perf_counter()
+            infos = []
+            for blk in blocks:
+                arrays = list(turns_by_block.get((bk, blk), []))
+                for p in prior_by_block.get(blk, []):
+                    arrays.append(hot_writer.scan_file(p))
+                infos.append(hot_writer.block_info(arrays))
+            G = hot_writer.combine_gate(infos)
+            phase_times["hot_gate_sec"] = round(
+                phase_times.get("hot_gate_sec", 0.0)
+                + time.perf_counter() - tg, 3
+            )
+            emits = [
+                hot_writer.emit.remote(
+                    prior_by_block.get(blk, []), f"{bk:05d}.{blk:04d}", G,
+                    *new_blocks.get(blk, []),
+                )
+                for blk in blocks
+            ]
+            hot_futs.append(hot_writer.finalize.remote(
+                bk, blocks, _pd, _pr, time.perf_counter(), *emits
+            ))
+        # largest normal buckets first: fat buckets start at t=0 instead
+        # of landing in the last wave and wall-bounding phase 2
+        norm_todo = sorted(norm_refs, key=lambda b: sizes.get(b, 0),
+                           reverse=True)
+        norm_futs = [run_bucket.remote(b, norm_refs[b]) for b in norm_todo]
+        ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
+        norm_refs.clear()   # release exchange objects
+        hot_blocks.clear()
+        ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
+        phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
+    elif exchange == "spill":
+        import ray
+
+        ds = build_ds()
         spill_root = _spill_dir(out_dir)
         shutil.rmtree(spill_root, ignore_errors=True)
         # phase 1: partition to disk — parallel map tasks, no all-to-all
         # large rebatch: fewer, bigger spill slices per bucket (256 tiny
         # files/bucket at 21M rows cost ~1.3 s/bucket of read overhead).
         # The exchange barrier itself is inherent (any input batch can feed
-        # any bucket), but the driver doesn't have to idle behind it: phase 1
-        # streams in a background thread while the main thread submits
-        # hot-sink gate scans for spill files AS THEY LAND (files appear via
-        # atomic rename, so a listed file is complete).  By the time the
-        # barrier closes, the giant key's gate is already resolved and its
-        # emits launch at t=0 of phase 2 instead of behind a scan round.
-        import threading
-
+        # any bucket), but the GIANT KEY's gate pass must not serialize
+        # behind it: each spill task returns its hot files' unique-turn
+        # summaries as the map output (map-side combiner — the rows are in
+        # memory anyway), so every hot gate is resolved the instant the
+        # barrier closes, at zero extra I/O.  (Two prior shapes measured
+        # worse: post-barrier scans of ~10⁴ tiny hot files added ~1.5 s;
+        # driver-thread scans polling mid-phase-1 kept up only at 32 CPUs
+        # and starved the gate at lower CPU counts.)
         t0 = time.perf_counter()
-        p1_err: list[BaseException] = []
-
-        def _phase1():
-            try:
-                ds.map_batches(
-                    make_spiller(out_dir, num_buckets, turn_block=turn_block),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True, batch_size=400_000,
-                ).count()
-            except BaseException as e:  # surfaced on the main thread below
-                p1_err.append(e)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        # Eager-scan capacity must be PROPORTIONAL to the cluster, not a
-        # fixed bonus: on a real cluster these scans would run as remote
-        # tasks whose throughput grows with node count, but remote per-file
-        # tasks thrash the worker pool mid-phase-1 (measured, see
-        # scan_file's docstring), so they run on driver threads — sized to
-        # the cluster's share.  A fixed pool of 4 made a num_cpus=4 run
-        # consume ~2× its nominal CPUs (uncounted driver cores), inflating
-        # the low end of the N→4N scaling measurement.
-        n_cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
-        scan_pool = ThreadPoolExecutor(
-            max_workers=max(1, n_cluster_cpus // 8)
-        )
-        file_scans: dict[str, object] = {}  # spill file → Future[uniq turns]
-
-        def _submit_hot_scans() -> None:
-            if not os.path.isdir(spill_root):
-                return
-            for name in os.listdir(spill_root):
-                if not name.startswith("bucket="):
-                    continue
-                if int(name.split("=")[1]) < num_buckets:
-                    continue
-                d = os.path.join(spill_root, name)
-                for f in os.listdir(d):
-                    if f.startswith(".") or not f.endswith(".feather"):
-                        continue
-                    fp = os.path.join(d, f)
-                    if fp not in file_scans:
-                        file_scans[fp] = scan_pool.submit(
-                            hot_writer.scan_file, fp
-                        )
-
-        th = threading.Thread(target=_phase1, daemon=True)
-        th.start()
-        while th.is_alive():
-            _submit_hot_scans()
-            th.join(timeout=0.1)
-        if p1_err:
-            raise p1_err[0]
-        _submit_hot_scans()  # files from the final spill wave
+        summary_rows = ds.map_batches(
+            make_spiller(out_dir, num_buckets, turn_block=turn_block),
+            batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=400_000,
+        ).take_all()
+        file_turns: dict[str, np.ndarray] = {
+            r["file"]: np.asarray(r["turns"], dtype=np.int64)
+            for r in summary_rows
+        }
         phase_times["phase1_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
 
@@ -902,23 +1114,6 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             d = os.path.join(spill_root, f"bucket={bk:05d}")
             return sum(e.stat().st_size for e in os.scandir(d))
 
-        def _prior_state(bk: int) -> tuple[int, int, list[str]]:
-            import glob as globmod
-
-            if not (plan.merge and bk in prior):
-                return 0, 0, []
-            m = prior[bk]
-            pd_ = int(m.get("dup_dropped", 0))
-            pr_ = int(m.get("rows_in", 0)) - (
-                int(m.get("routed", 0)) + int(m.get("quarantined", 0))
-            )
-            parts_: list[str] = []
-            for kind in ("routed", "quarantine"):
-                parts_ += globmod.glob(os.path.join(
-                    out_dir, kind, f"bucket={bk:05d}.*.parquet"
-                ))
-            return pd_, pr_, parts_
-
         todo = (
             [
                 int(name.split("=")[1])
@@ -934,9 +1129,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         hot_todo = [b for b in todo if b >= num_buckets]
         norm_todo = [b for b in todo if b < num_buckets]
 
-        # hot pseudo-buckets FIRST: their gates resolve from the eager
-        # per-file scans (already complete at the barrier), so the giant
-        # key's emit blocks hit the pool ahead of the normal wave
+        # hot pseudo-buckets FIRST: their gates resolve instantly from the
+        # map-side summaries, so the giant key's emit blocks (the longest
+        # phase-2 chain) hit the pool ahead of the normal wave
         hot_futs = []
         for bk in hot_todo:
             d = os.path.join(spill_root, f"bucket={bk:05d}")
@@ -946,15 +1141,13 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             tg = time.perf_counter()
             infos = []
             for b in blocks:
-                # prior output parts (incremental merge) weren't eagerly
-                # scanned during phase 1 — setdefault submits them now
-                futs = [
-                    file_scans.setdefault(
-                        f, scan_pool.submit(hot_writer.scan_file, f)
-                    )
+                # prior output parts (incremental merge) carry no map-side
+                # summary — scan_file them here (few: one per block)
+                infos.append(hot_writer.block_info([
+                    file_turns[f] if f in file_turns
+                    else hot_writer.scan_file(f)
                     for f in groups[b]
-                ]
-                infos.append(hot_writer.block_info([f.result() for f in futs]))
+                ]))
             G = hot_writer.combine_gate(infos)
             phase_times["hot_gate_sec"] = round(
                 phase_times.get("hot_gate_sec", 0.0)
@@ -969,7 +1162,6 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             ))
         norm_futs = [run_bucket.remote(b) for b in norm_todo]
         ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
-        scan_pool.shutdown(wait=False)
         ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
         phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(spill_root, ignore_errors=True)
@@ -979,6 +1171,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             merged, pd_, pr_ = bucket_table(bk, t.drop_columns(["bucket"]))
             return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
 
+        ds = build_ds()
         metrics = ds.groupby("bucket").map_groups(
             grouped_writer, batch_format="pyarrow"
         )

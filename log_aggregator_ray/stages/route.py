@@ -40,6 +40,28 @@ def stable_hash(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
 
 
+def add_bucket_column(batch: pa.Table, num_buckets: int = 64,
+                      router=sink_expr,
+                      hot_hashes: np.ndarray | None = None) -> pa.Table:
+    """Table-level form of ``add_bucket``: append ONLY the ``bucket``
+    column (hash of the routing key).  ``hot_hashes`` must already be a
+    sorted uint64 array (or None)."""
+    hot = hot_hashes if hot_hashes is not None and len(hot_hashes) else None
+    sink = router(batch)
+    if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
+        sink = pa.array(sink)
+    h = stable_hash(np.asarray(sink.to_pandas()))
+    bucket = (h % num_buckets).astype(np.int32)
+    if hot is not None:
+        idx = np.searchsorted(hot, h)
+        idx_c = np.minimum(idx, len(hot) - 1)
+        is_hot = hot[idx_c] == h
+        bucket = np.where(
+            is_hot, (num_buckets + idx_c).astype(np.int32), bucket
+        )
+    return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+
 def add_bucket(ds, num_buckets: int = 64, router=sink_expr,
                hot_hashes: np.ndarray | None = None):
     """Append ONLY the ``bucket`` column (hash of the routing key) — the
@@ -56,19 +78,7 @@ def add_bucket(ds, num_buckets: int = 64, router=sink_expr,
     ) else None
 
     def _add(batch: pa.Table) -> pa.Table:
-        sink = router(batch)
-        if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
-            sink = pa.array(sink)
-        h = stable_hash(np.asarray(sink.to_pandas()))
-        bucket = (h % num_buckets).astype(np.int32)
-        if hot is not None:
-            idx = np.searchsorted(hot, h)
-            idx_c = np.minimum(idx, len(hot) - 1)
-            is_hot = hot[idx_c] == h
-            bucket = np.where(
-                is_hot, (num_buckets + idx_c).astype(np.int32), bucket
-            )
-        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+        return add_bucket_column(batch, num_buckets, router, hot)
 
     return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -130,3 +130,27 @@ def test_resume_invalidated_by_changed_input(corpus, tmp_path):
     assert report["buckets_skipped"] == 0  # stale commits dropped
     n2 = flagship.read_sink_counts(out)["n_rows"].sum()
     assert n2 > n1
+
+
+def test_exchange_variants_agree(corpus, tmp_path):
+    """The three exchange implementations (objstore default, file spill,
+    raydata groupby) are alternative physical plans for the SAME logical
+    exchange — routed rows, quarantine and per-sink counts must be
+    byte-identical across them."""
+    path, t, gt = corpus
+    outs = {}
+    for ex in ("objstore", "spill", "raydata"):
+        out = str(tmp_path / f"out_{ex}")
+        flagship.run_flagship(path, out, num_buckets=8, exchange=ex)
+        outs[ex] = _routed_df(out)
+    cols = ["sink", "turn_idx", "text", "status"]
+    cols = [c for c in cols if c in outs["objstore"].columns]
+    for ex in ("spill", "raydata"):
+        pd.testing.assert_frame_equal(outs["objstore"][cols], outs[ex][cols])
+    for ex in ("spill", "raydata"):
+        a = flagship.read_sink_counts(str(tmp_path / "out_objstore"))
+        b = flagship.read_sink_counts(str(tmp_path / f"out_{ex}"))
+        pd.testing.assert_frame_equal(
+            a.sort_values("sink").reset_index(drop=True),
+            b.sort_values("sink").reset_index(drop=True),
+        )
