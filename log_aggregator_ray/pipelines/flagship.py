@@ -978,11 +978,17 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         sizes: dict[int, int] = {}
         if parts_in:
             n_cpus = tuning.available_cpus()
-            # one map wave (measured fastest at 32 CPUs: 32 tasks beat 64
-            # and 128 on the bench corpus), but never above ~256 MB of
-            # input per task — the map holds its group in heap
+            # Task count: ~128 MB of input per map task, floored at one
+            # task per CPU.  At high CPU counts the floor wins (one wave —
+            # measured fastest at 32 CPUs: 32 tasks beat 64 and 128 on the
+            # bench corpus); at low CPU counts the bytes rule wins, giving
+            # multiple waves so one straggling 200+ MB group can't idle
+            # the other cores (measured: 4 map tasks at 4 CPUs cost ~8%
+            # of phase 1 to imbalance).  The bytes rule is also the
+            # 100-TB guard: per-task heap stays bounded no matter the
+            # cluster shape.
             by_bytes = -(-sum(os.path.getsize(p) for p in parts_in)
-                         // (256 << 20))
+                         // (128 << 20))
             n_tasks = min(len(parts_in), max(n_cpus, by_bytes))
             chunks = [parts_in[i::n_tasks] for i in range(n_tasks)]
             ex = ray.remote(make_exchange_map(
