@@ -389,3 +389,39 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         }),
         batch_format="pandas",
     )
+
+
+def decontaminate(ds, snippets: list[str], text_col: str = "text",
+                  id_col: str = "doc_id", flag_col: str = "contaminated"):
+    """Benchmark decontamination: flag documents containing any snippet of
+    a (small) evaluation/contamination set — the standard pre-training
+    hygiene pass that keeps eval data out of the training corpus.
+
+    Scale shape: the snippet set is SMALL by construction (eval sets are
+    thousands of strings at most) and broadcast inside the task closure;
+    the corpus streams through one vectorized RE2 pass — the snippets are
+    compiled into a single alternation, which RE2 matches in one linear
+    scan regardless of snippet count (the Aho-Corasick-equivalent
+    automaton), so cost is O(corpus bytes), not O(corpus × snippets).
+    Production sets beyond RE2's program-size limit would bucket snippets
+    into a few alternations — same shape, still one streaming pass.
+
+    Returns (id, contaminated bool) per document."""
+    import re as _re
+
+    if not snippets:
+        def none(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col],
+                flag_col: pa.array(np.zeros(t.num_rows, bool)),
+            })
+
+        return ds.map_batches(none, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pattern = "(?:" + "|".join(_re.escape(s) for s in snippets) + ")"
+
+    def flag(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(t[text_col], pattern)
+        return pa.table({id_col: t[id_col], flag_col: hit})
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,134 @@
+"""Training-shard prep ops (functions.shards, corpus.decontaminate)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from log_aggregator_ray.functions import corpus, shards
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "x"],
+                            size=rng.integers(3, 40)))
+        for _ in range(n)
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+
+
+def _local_pack(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Single-process reference: md5-ordered stream chunked by budget."""
+    df = df.copy()
+    df["tokens"] = df["text"].map(lambda s: s.count(" ") + 1)
+    df["k"] = df["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    df = df.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    cum = df["tokens"].cumsum()
+    df["pack_id"] = ((cum - df["tokens"]) // budget).astype("int64")
+    return df[["doc_id", "tokens", "pack_id"]]
+
+
+def test_pack_sequences_matches_local_reference(docs):
+    got = (
+        shards.pack_sequences(rd.from_arrow(docs), budget=128, order="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _local_pack(docs.to_pandas(), 128).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"tokens": "int64", "pack_id": "int64"}), exp
+    )
+
+
+def test_pack_sequences_fast_order_matches_local_reference(docs):
+    """The fast (siphash) order is a different permutation than md5 but
+    must equal a single-process reference under the SAME hash."""
+    from log_aggregator_ray.stages.route import stable_hash
+
+    budget = 128
+    got = (
+        shards.pack_sequences(
+            rd.from_arrow(docs), budget=budget, order="fast", num_ranges=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = docs.to_pandas()
+    df["tokens"] = df["text"].map(lambda s: s.count(" ") + 1)
+    df["k"] = stable_hash(df["doc_id"].to_numpy().astype(object))
+    df = df.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    cum = df["tokens"].cumsum()
+    df["pack_id"] = ((cum - df["tokens"]) // budget).astype("int64")
+    exp = (
+        df[["doc_id", "tokens", "pack_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"tokens": "int64", "pack_id": "int64"}), exp
+    )
+    assert set(got["pack_id"]) == set(range(got["pack_id"].max() + 1))
+
+
+def test_assign_shards_matches_md5_reference(docs):
+    got = (
+        shards.assign_shards(rd.from_arrow(docs), num_shards=16, order="md5")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = docs.to_pandas()
+    df["k"] = df["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    df["shard"] = df["k"].map(lambda k: int(k[0], 16))
+    df["pos"] = df.sort_values(["k", "doc_id"]).groupby("shard").cumcount()
+    exp = df.sort_values("doc_id")[["doc_id", "shard", "pos"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"shard": "int64", "pos": "int64"}),
+        exp.astype({"shard": "int64", "pos": "int64"}),
+    )
+    # positions are a permutation of 0..n-1 within each shard (resume-stable)
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_decontaminate_flags_exact_substrings(docs):
+    texts = docs["text"].to_pylist()
+    snippets = [texts[5][:20], texts[100][:25]]
+    got = (
+        corpus.decontaminate(rd.from_arrow(docs), snippets)
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    exp = [any(s in t for s in snippets) for t in texts]
+    assert got.loc[5] and got.loc[100]
+    assert list(got.sort_index()) == exp
+
+
+def test_decontaminate_empty_set(docs):
+    got = corpus.decontaminate(rd.from_arrow(docs), []).to_pandas()
+    assert not got["contaminated"].any()
+    assert len(got) == docs.num_rows
+
+
+def test_decontaminate_regex_metachars(docs):
+    """Snippets are literal strings — regex metacharacters must not
+    change matching semantics."""
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["price is $5.99 (sale)", "no match here"]),
+    })
+    got = corpus.decontaminate(
+        rd.from_arrow(t), ["$5.99 (sale)"]
+    ).to_pandas().set_index("doc_id")["contaminated"]
+    assert bool(got.loc[0]) and not bool(got.loc[1])
