@@ -1172,9 +1172,45 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(spill_root, ignore_errors=True)
     else:
+        def hot_grouped(t: pa.Table, bk: int, pd_: int,
+                        pr_: int) -> pd.DataFrame:
+            """raydata-mode giant-key path: the group task holds every row
+            of the hot sink, so the gate is one numpy pass; the heavy work
+            (dedup + derive + write per turn block) fans out to nested
+            emit tasks — the map_groups task never sorts/gathers the giant
+            text column itself (which measured ~19 s single-task)."""
+            import ray
+
+            t0 = time.perf_counter()
+            turns = t["turn_idx"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            u = np.unique(turns)
+            gaps = np.flatnonzero(np.diff(u) != 1)
+            G = int(u[gaps[0]] + 1) if gaps.size else None
+            tb = turns // turn_block
+            order = np.argsort(tb, kind="stable")
+            ts_ = t.take(pa.array(order))
+            tbs = tb[order]
+            starts = np.flatnonzero(np.r_[True, tbs[1:] != tbs[:-1]])
+            ends = np.append(starts[1:], len(tbs))
+            blocks = [int(tbs[s]) for s in starts]
+            emits = [
+                hot_writer.emit.remote(
+                    [], f"{bk:05d}.{blk:04d}", G,
+                    _ship(ts_.slice(s, e - s)),
+                )
+                for blk, s, e in zip(blocks, starts, ends)
+            ]
+            return ray.get(hot_writer.finalize.remote(
+                bk, blocks, pd_, pr_, t0, *emits
+            ))
+
         def grouped_writer(t: pa.Table) -> pd.DataFrame:
             bk = int(t["bucket"][0].as_py())
             merged, pd_, pr_ = bucket_table(bk, t.drop_columns(["bucket"]))
+            if bk >= num_buckets:
+                return hot_grouped(merged, bk, pd_, pr_)
             return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
 
         ds = build_ds()

@@ -209,3 +209,24 @@ def test_hot_incremental_gap_fill(hot_corpus, tmp_path):
         assert r[k] == rc[k], k
     # hot sink fully routed now
     assert "conv-hot" not in set(_df(out, "quarantine")["conv_id"])
+
+
+def test_raydata_exchange_hot_path_matches(hot_corpus, tmp_path):
+    """raydata (groupby) mode routes a hot pseudo-bucket group through the
+    same block-parallel emit pipeline — output identical to the objstore
+    hot path, and block-sliced (not one giant single-task file)."""
+    corpus, _schema = hot_corpus
+    rd_out = str(tmp_path / "rd")
+    obj_out = str(tmp_path / "obj")
+
+    r1 = _run(corpus, rd_out, exchange="raydata")
+    r2 = _run(corpus, obj_out)
+    for k in ("rows_in", "routed", "quarantined", "dup_dropped", "n_sinks"):
+        assert r1[k] == r2[k], k
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(rd_out, kind), _df(obj_out, kind))
+    slices = [
+        f for f in os.listdir(os.path.join(rd_out, "routed"))
+        if f.startswith("bucket=00008.")
+    ]
+    assert len(slices) > 3  # block-parallel output in raydata mode too
