@@ -182,11 +182,25 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
         }
 
     def process_bucket(t: pa.Table, bucket: int,
-                       prior_dups: int = 0, prior_rows: int = 0) -> pd.DataFrame:
+                       prior_dups: int = 0, prior_rows: int = 0,
+                       append_totals: dict | None = None) -> pd.DataFrame:
+        """``append_totals`` set (run_flagship.bucket_table's append fast
+        path: every fresh sink is NEW to this bucket) ⇒ prior files stay
+        untouched, this run's rows land in a generation-suffixed slice
+        (``bucket=NNNNN.g<gen6>[-SSS]``), and the manifest totals are the
+        elementwise sum — disjoint sink sets make every count additive."""
         import glob
 
         t0 = time.perf_counter()
         t = add_sink_column(t, router=router)
+        base = f"{bucket:05d}"
+        stale_glob = f"bucket={bucket:05d}*.parquet"
+        if append_totals is not None:
+            gen6 = (gen or "nogen")[:6]
+            base = f"{bucket:05d}.g{gen6}"
+            # only THIS generation's previous layout may be cleaned up —
+            # prior generations' files carry the bucket's committed rows
+            stale_glob = f"bucket={bucket:05d}.g{gen6}*.parquet"
 
         if t.num_rows > SPLIT_ROWS:
             import ray
@@ -201,18 +215,20 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
             subs = sub[order]
             starts = np.flatnonzero(np.r_[True, subs[1:] != subs[:-1]])
             ends = np.append(starts[1:], len(subs))
+            sep = "-" if append_totals is not None else "."
             slice_task = ray.remote(
                 lambda buf, name: process_slice(_unship(buf), name)
             )
             futures = [
                 slice_task.remote(
-                    _ship(ts.slice(s, e - s)), f"{bucket:05d}.{int(subs[s]):03d}"
+                    _ship(ts.slice(s, e - s)),
+                    f"{base}{sep}{int(subs[s]):03d}",
                 )
                 for s, e in zip(starts, ends)
             ]
             parts = ray.get(futures)
         else:
-            parts = [process_slice(t, f"{bucket:05d}")]
+            parts = [process_slice(t, base)]
 
         # Crash-safe stale-name cleanup (write first, THEN delete): the
         # merged replacements are already atomically in place — os.replace
@@ -227,18 +243,23 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
         # committed the bucket with only the new parts' rows.
         live = {os.path.abspath(pth) for p in parts for pth in p["paths"]}
         for kind in ("routed", "quarantine", "sink_counts", "docs"):
-            for stale in glob.glob(os.path.join(
-                out_dir, kind, f"bucket={bucket:05d}*.parquet"
-            )):
+            for stale in glob.glob(os.path.join(out_dir, kind, stale_glob)):
                 if os.path.abspath(stale) not in live:
                     os.remove(stale)
 
+        T = append_totals or {}
         payload = {
-            "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows),
-            "routed": int(sum(p["routed"] for p in parts)),
-            "quarantined": int(sum(p["quarantined"] for p in parts)),
-            "dup_dropped": int(sum(p["dup_dropped"] for p in parts)) + prior_dups,
-            "n_sinks": int(sum(p["n_sinks"] for p in parts)),
+            "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows
+                           + T.get("rows_in", 0)),
+            "routed": int(sum(p["routed"] for p in parts)
+                          + T.get("routed", 0)),
+            "quarantined": int(sum(p["quarantined"] for p in parts)
+                               + T.get("quarantined", 0)),
+            "dup_dropped": int(sum(p["dup_dropped"] for p in parts))
+                           + prior_dups + T.get("dup_dropped", 0),
+            "n_sinks": int(sum(p["n_sinks"] for p in parts)
+                           + T.get("n_sinks", 0)),
+            "appended": append_totals is not None,
             "wall_sec": round(time.perf_counter() - t0, 4),
         }
         mf.commit_bucket(out_dir, bucket, payload, gen=gen)
@@ -918,22 +939,48 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
     hot_writer = make_hot_processor(out_dir, write_docs=write_docs, gen=plan.gen)
     prior = {m["bucket"]: m for m in mf.load_manifests(out_dir)} if plan.merge else {}
 
-    def bucket_table(bk: int, fresh: pa.Table) -> tuple[pa.Table, int, int]:
+    def bucket_table(
+        bk: int, fresh: pa.Table
+    ) -> tuple[pa.Table, int, int, dict | None]:
         """Incremental merge: prior committed rows (raw cols re-read from the
         bucket's own routed+quarantine output) + fresh rows → one table the
         reassembly kernel re-gates from scratch.  Dedup is first-wins and
-        idempotent, so replaying a crashed merge converges to the same rows."""
+        idempotent, so replaying a crashed merge converges to the same rows.
+
+        APPEND fast path (4th return value): when every fresh row belongs
+        to a sink the bucket has never seen (the reference's operating
+        mode — new conversations arriving), prior rows cannot interact
+        with the new ones (dedup keys and gates are per-sink), so the
+        merge skips the full-row re-read + rewrite entirely: the fresh
+        sinks are processed alone, written as a generation-suffixed slice
+        alongside the untouched prior files, and the manifest totals are
+        summed.  Detection costs one sink-column read.  Normal buckets
+        only — hot pseudo-buckets gate ONE sink across runs by design."""
         if not plan.merge or bk not in prior:
-            return fresh, 0, 0
+            return fresh, 0, 0, None
+        m = prior[bk]
+        if bk < num_buckets:
+            psinks = mf.read_bucket_sink_set(out_dir, bk)
+            if psinks:
+                from ..stages.route import add_sink_column
+
+                fsinks = set(
+                    add_sink_column(fresh)["sink"].unique().to_pylist()
+                )
+                if not (fsinks & psinks):
+                    return fresh, 0, 0, {
+                        k: int(m.get(k, 0))
+                        for k in ("rows_in", "routed", "quarantined",
+                                  "dup_dropped", "n_sinks")
+                    }
         old = mf.read_bucket_raw(out_dir, bk, EXCHANGE_COLS)
         if old is None or old.num_rows == 0:
-            return fresh, 0, 0
+            return fresh, 0, 0, None
         keep = [c for c in EXCHANGE_COLS if c in fresh.column_names]
         merged = pa.concat_tables([old.select(keep), fresh.select(keep)])
-        m = prior[bk]
         return merged, int(m.get("dup_dropped", 0)), int(m.get("rows_in", 0)) - (
             int(m.get("routed", 0)) + int(m.get("quarantined", 0))
-        )
+        ), None
 
     def _prior_state(bk: int) -> tuple[int, int, list[str]]:
         import glob as globmod
@@ -1014,8 +1061,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         def run_bucket(bk: int, refs: list):
             tabs = [_unship(b) for b in ray.get(list(refs))]
             fresh = pa.concat_tables(tabs, promote_options="default")
-            merged, pd_, pr_ = bucket_table(bk, fresh)
-            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
+            merged, pd_, pr_, app = bucket_table(bk, fresh)
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_,
+                          append_totals=app)
 
         # hot pseudo-buckets FIRST: gates resolve instantly from the
         # map-side summaries, so the giant key's emit blocks (the longest
@@ -1113,8 +1161,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                 ],
                 promote_options="default",
             )
-            merged, pd_, pr_ = bucket_table(bk, fresh)
-            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
+            merged, pd_, pr_, app = bucket_table(bk, fresh)
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_,
+                          append_totals=app)
 
         def _dir_bytes(bk: int) -> int:
             d = os.path.join(spill_root, f"bucket={bk:05d}")
@@ -1208,10 +1257,13 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
 
         def grouped_writer(t: pa.Table) -> pd.DataFrame:
             bk = int(t["bucket"][0].as_py())
-            merged, pd_, pr_ = bucket_table(bk, t.drop_columns(["bucket"]))
+            merged, pd_, pr_, app = bucket_table(
+                bk, t.drop_columns(["bucket"])
+            )
             if bk >= num_buckets:
                 return hot_grouped(merged, bk, pd_, pr_)
-            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_)
+            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_,
+                          append_totals=app)
 
         ds = build_ds()
         metrics = ds.groupby("bucket").map_groups(

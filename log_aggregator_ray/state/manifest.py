@@ -243,6 +243,27 @@ def load_manifests(out_dir: str) -> list[dict]:
     return out
 
 
+def read_bucket_sink_set(out_dir: str, bucket: int):
+    """Append-merge detection input: the set of sinks already present in
+    the bucket's committed output — a one-COLUMN read (dictionary-encoded
+    zstd), orders of magnitude cheaper than the full-row re-read it lets
+    the merge skip.  Returns None when the bucket has no output files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sinks: set[str] = set()
+    found = False
+    for kind in ("routed", "quarantine"):
+        for p in sorted(glob.glob(
+            os.path.join(out_dir, kind, f"bucket={bucket:05d}*.parquet")
+        )):
+            found = True
+            t = pq.read_table(p, columns=["sink"])
+            sinks.update(t["sink"].unique().to_pylist())
+    return sinks if found else None
+
+
 def read_bucket_raw(out_dir: str, bucket: int, raw_cols: list[str]):
     """Incremental-merge input: the bucket's prior committed rows (routed +
     quarantine), restricted to the raw exchange columns so the merge re-runs

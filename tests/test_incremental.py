@@ -276,3 +276,108 @@ def test_merge_cleans_stale_layout_after_write(tmp_path):
     writer(pa.concat_tables([mf.read_bucket_raw(out, bk, flagship.EXCHANGE_COLS)]), bk)
     assert not os.path.exists(stale)
     pd.testing.assert_frame_equal(_df(out, "routed"), routed_before)
+
+
+def test_append_merge_new_sinks_leaves_prior_files_untouched(tmp_path):
+    """Append fast path: a new part carrying ONLY new conversations must
+    not rewrite (or even re-read in full) prior bucket files — new rows
+    land in generation-suffixed slices, prior files keep their bytes, and
+    the final state equals a clean full run."""
+    import glob
+
+    t, _ = gen.generate_transcripts(n_convs=40, seed=11)
+    extra, _ = gen.generate_transcripts(n_convs=12, seed=99)
+    # disjoint conv ids by construction? enforce it:
+    base_convs = set(t["conv_id"].to_pylist())
+    ex = extra.to_pandas()
+    ex["conv_id"] = "new-" + ex["conv_id"].astype(str)
+    assert not (set(ex["conv_id"]) & base_convs)
+    extra = pa.Table.from_pandas(ex, schema=t.schema, preserve_index=False)
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-000.parquet"))
+    inc = str(tmp_path / "inc")
+    clean = str(tmp_path / "clean")
+
+    flagship.run_flagship(d, inc, num_buckets=8)
+    sig_before = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for kind in ("routed", "quarantine", "sink_counts", "docs")
+        for p in glob.glob(os.path.join(inc, kind, "*.parquet"))
+    }
+
+    pq.write_table(extra, os.path.join(d, "part-001.parquet"))
+    r = flagship.run_flagship(d, inc, num_buckets=8)
+    assert r["incremental"] is True
+
+    # every prior file byte-identical and untouched (same inode mtime)
+    for p, sig in sig_before.items():
+        assert os.path.exists(p), p
+        assert (os.path.getsize(p), os.path.getmtime(p)) == sig, p
+    # the new rows landed in generation-suffixed slices
+    gfiles = glob.glob(os.path.join(inc, "routed", "bucket=*.g*.parquet"))
+    assert gfiles
+    # appended buckets are flagged in their manifests
+    assert any(m.get("appended") for m in mf.load_manifests(inc))
+
+    # final state identical to a clean full run over the combined input
+    flagship.run_flagship(d, clean, num_buckets=8)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(inc, kind), _df(clean, kind))
+    mi = {m["bucket"]: m for m in mf.load_manifests(inc)}
+    mc = {m["bucket"]: m for m in mf.load_manifests(clean)}
+    for bk, m in mc.items():
+        for k in ("rows_in", "routed", "quarantined", "n_sinks"):
+            assert mi[bk][k] == m[k], (bk, k)
+
+
+def test_append_then_overlap_merge_converges(tmp_path):
+    """A later part touching a sink that arrived via the append path must
+    fall back to the full merge (overlap) and still match a clean run —
+    the g-sliced layout is a valid merge input and gets cleaned up."""
+    import glob
+
+    t, _ = gen.generate_transcripts(n_convs=30, seed=13)
+    df = t.to_pandas()
+    conv = sorted(set(df["conv_id"]))[0]
+    rows_c = df[df["conv_id"] == conv].sort_values("turn_idx")
+    assert len(rows_c) >= 3
+    # part0: everything except conv's turn 1+; part1: NEW conv only (append);
+    # part2: the held-back turns of conv AND one turn of the appended conv
+    # re-delivered (overlap with both layouts)
+    new_conv = rows_c.copy()
+    new_conv["conv_id"] = "brand-new-conv"
+    base_mask = ~((df["conv_id"] == conv) & (df["turn_idx"] >= 1))
+    part0 = pa.Table.from_pandas(df[base_mask], schema=t.schema,
+                                 preserve_index=False)
+    part1 = pa.Table.from_pandas(new_conv, schema=t.schema,
+                                 preserve_index=False)
+    part2 = pa.Table.from_pandas(
+        pd.concat([df[(df["conv_id"] == conv) & (df["turn_idx"] >= 1)],
+                   new_conv.iloc[:1]]),
+        schema=t.schema, preserve_index=False)
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    inc = str(tmp_path / "inc")
+    clean = str(tmp_path / "clean")
+    pq.write_table(part0, os.path.join(d, "part-000.parquet"))
+    flagship.run_flagship(d, inc, num_buckets=4)
+    pq.write_table(part1, os.path.join(d, "part-001.parquet"))
+    r1 = flagship.run_flagship(d, inc, num_buckets=4)
+    assert any(m.get("appended") for m in mf.load_manifests(inc))
+    pq.write_table(part2, os.path.join(d, "part-002.parquet"))
+    r2 = flagship.run_flagship(d, inc, num_buckets=4)
+
+    flagship.run_flagship(d, clean, num_buckets=4)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(inc, kind), _df(clean, kind))
+    # overlapped buckets rewrote under standard names; their g-slices from
+    # the superseded layout are gone
+    for m in mf.load_manifests(inc):
+        if not m.get("appended"):
+            bk = m["bucket"]
+            assert not glob.glob(os.path.join(
+                inc, "routed", f"bucket={bk:05d}.g*.parquet"
+            ))
