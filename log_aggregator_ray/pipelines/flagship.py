@@ -247,8 +247,22 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
                 if os.path.abspath(stale) not in live:
                     os.remove(stale)
 
+        # sink-set bloom digest for O(new rows) append detection on the
+        # NEXT incremental run; append mode carries the prior generations'
+        # blooms forward (capped — an uncapped list would grow one entry
+        # per append generation; past the cap detection falls back to the
+        # exact column read until a full rewrite resets the list)
+        fresh_bloom = mf.sink_bloom(
+            pc.unique(t["sink"].combine_chunks()).to_pylist()
+        )
+        prior_blooms = (append_totals or {}).get("sink_blooms") or []
+        blooms = (prior_blooms + [fresh_bloom]
+                  if append_totals is not None else [fresh_bloom])
+        blooms = blooms if len(blooms) <= 12 else None
+
         T = append_totals or {}
         payload = {
+            "sink_blooms": blooms,
             "rows_in": int(sum(p["rows_in"] for p in parts) + prior_rows
                            + T.get("rows_in", 0)),
             "routed": int(sum(p["routed"] for p in parts)
@@ -263,7 +277,8 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
             "wall_sec": round(time.perf_counter() - t0, 4),
         }
         mf.commit_bucket(out_dir, bucket, payload, gen=gen)
-        return pd.DataFrame([{"bucket": bucket, **payload}])
+        slim = {k: v for k, v in payload.items() if k != "sink_blooms"}
+        return pd.DataFrame([{"bucket": bucket, **slim}])
 
     return process_bucket
 
@@ -960,19 +975,32 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             return fresh, 0, 0, None
         m = prior[bk]
         if bk < num_buckets:
-            psinks = mf.read_bucket_sink_set(out_dir, bk)
-            if psinks:
-                from ..stages.route import add_sink_column
+            from ..stages.route import add_sink_column
 
-                fsinks = set(
-                    add_sink_column(fresh)["sink"].unique().to_pylist()
-                )
-                if not (fsinks & psinks):
-                    return fresh, 0, 0, {
-                        k: int(m.get(k, 0))
-                        for k in ("rows_in", "routed", "quarantined",
-                                  "dup_dropped", "n_sinks")
-                    }
+            def totals(blooms) -> dict:
+                t = {
+                    k: int(m.get(k, 0))
+                    for k in ("rows_in", "routed", "quarantined",
+                              "dup_dropped", "n_sinks")
+                }
+                t["sink_blooms"] = blooms
+                return t
+
+            fsinks = set(
+                add_sink_column(fresh)["sink"].unique().to_pylist()
+            )
+            blooms = m.get("sink_blooms")
+            if blooms and not any(
+                mf.bloom_any_maybe(b, fsinks) for b in blooms
+            ):
+                # bloom miss PROVES disjointness: O(new rows), no prior
+                # bytes touched at all
+                return fresh, 0, 0, totals(blooms)
+            psinks = mf.read_bucket_sink_set(out_dir, bk)
+            if psinks and not (fsinks & psinks):
+                # bloom false positive (or no bloom) — exact column read
+                # confirms disjointness; rebuild the bloom list exactly
+                return fresh, 0, 0, totals([mf.sink_bloom(psinks)])
         old = mf.read_bucket_raw(out_dir, bk, EXCHANGE_COLS)
         if old is None or old.num_rows == 0:
             return fresh, 0, 0, None

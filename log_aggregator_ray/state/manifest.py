@@ -243,6 +243,61 @@ def load_manifests(out_dir: str) -> list[dict]:
     return out
 
 
+def sink_bloom(sinks, m_bits: int | None = None, k: int = 4) -> dict:
+    """Compact membership digest of a bucket's sink set, stored in the
+    bucket manifest so append-merge detection normally costs O(new rows)
+    instead of a prior-output column read.  Kirsch-Mitzenmacher double
+    hashing over the deterministic cross-process siphash
+    (stages.route.stable_hash); m defaults to ~16 bits/sink (≈2-3% false
+    positives — a false positive only causes a harmless exact re-check).
+    Returns {"m": bits, "k": k, "b64": bitset}."""
+    import base64
+
+    import numpy as np
+
+    from ..stages.route import stable_hash
+
+    sinks = list(sinks)
+    n = max(1, len(sinks))
+    if m_bits is None:
+        m_bits = 1 << max(10, int(np.ceil(np.log2(16 * n))))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if sinks:
+        h1 = stable_hash(np.asarray(sinks, dtype=object))
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(32))
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return {"m": int(m_bits), "k": int(k),
+            "b64": base64.b64encode(bits.tobytes()).decode()}
+
+
+def bloom_any_maybe(bloom: dict, sinks) -> bool:
+    """True iff ANY of ``sinks`` may be in the bloom (no false negatives:
+    a False return PROVES disjointness)."""
+    import base64
+
+    import numpy as np
+
+    from ..stages.route import stable_hash
+
+    sinks = list(sinks)
+    if not sinks:
+        return False
+    bits = np.frombuffer(base64.b64decode(bloom["b64"]), dtype=np.uint8)
+    m_bits = np.uint64(bloom["m"])
+    h1 = stable_hash(np.asarray(sinks, dtype=object))
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(32))
+    maybe = np.ones(len(sinks), dtype=bool)
+    for i in range(int(bloom["k"])):
+        idx = (h1 + np.uint64(i) * h2) % m_bits
+        got = (bits[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        maybe &= got.astype(bool)
+    return bool(maybe.any())
+
+
 def read_bucket_sink_set(out_dir: str, bucket: int):
     """Append-merge detection input: the set of sinks already present in
     the bucket's committed output — a one-COLUMN read (dictionary-encoded

@@ -381,3 +381,63 @@ def test_append_then_overlap_merge_converges(tmp_path):
             assert not glob.glob(os.path.join(
                 inc, "routed", f"bucket={bk:05d}.g*.parquet"
             ))
+
+
+def test_sink_bloom_no_false_negatives_and_fp_rate():
+    rng = np.random.default_rng(21)
+    members = [f"conv-{i}" for i in range(2000)]
+    others = [f"other-{i}" for i in range(4000)]
+    b = mf.sink_bloom(members)
+    # no false negatives: every member must hit
+    for s in members[:200]:
+        assert mf.bloom_any_maybe(b, [s])
+    # false-positive rate sane at ~16 bits/element
+    fp = sum(mf.bloom_any_maybe(b, [s]) for s in others)
+    assert fp / len(others) < 0.08
+    # deterministic across builds
+    assert mf.sink_bloom(members) == b
+    assert not mf.bloom_any_maybe(mf.sink_bloom([]), ["x"])
+    assert not mf.bloom_any_maybe(b, [])
+
+
+def test_append_chain_carries_blooms(tmp_path):
+    """Two successive new-sink appends: manifests accumulate one bloom per
+    generation, the recorded blooms prove the fast path's disjointness
+    check for the NEXT generation's sinks, and the final state matches a
+    clean run."""
+    t, _ = gen.generate_transcripts(n_convs=30, seed=31)
+
+    def renamed(seed, prefix):
+        e, _ = gen.generate_transcripts(n_convs=8, seed=seed)
+        df = e.to_pandas()
+        df["conv_id"] = prefix + df["conv_id"].astype(str)
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    inc = str(tmp_path / "inc")
+    clean = str(tmp_path / "clean")
+    pq.write_table(t, os.path.join(d, "part-000.parquet"))
+    flagship.run_flagship(d, inc, num_buckets=4)
+    m0 = {m["bucket"]: m for m in mf.load_manifests(inc)}
+    assert all(len(m["sink_blooms"]) == 1 for m in m0.values()
+               if m["bucket"] < 4)
+
+    p1 = renamed(41, "gen1-")
+    pq.write_table(p1, os.path.join(d, "part-001.parquet"))
+    flagship.run_flagship(d, inc, num_buckets=4)
+    m1 = {m["bucket"]: m for m in mf.load_manifests(inc)}
+    appended = [b for b, m in m1.items() if m.get("appended")]
+    assert appended
+    assert all(len(m1[b]["sink_blooms"]) == 2 for b in appended)
+
+    p2 = renamed(43, "gen2-")
+    pq.write_table(p2, os.path.join(d, "part-002.parquet"))
+    flagship.run_flagship(d, inc, num_buckets=4)
+    m2 = {m["bucket"]: m for m in mf.load_manifests(inc)}
+    assert any(len(m["sink_blooms"]) == 3 for m in m2.values()
+               if m.get("appended"))
+
+    flagship.run_flagship(d, clean, num_buckets=4)
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(inc, kind), _df(clean, kind))
