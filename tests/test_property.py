@@ -89,3 +89,20 @@ def test_hierarchical_gate_matches_whole_key(turns, block):
             "first_missing": int(seg[gaps[0]] + 1) if gaps.size else None,
         })
     assert combine_gate(infos) == exp_fm
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=20), min_size=0, max_size=200))
+def test_sink_bloom_never_false_negative(sinks):
+    """Append-merge safety rests on the bloom having NO false negatives:
+    a member reported absent would let an overlapping merge take the
+    append path and mis-gate a sink.  (False positives only cost an
+    exact re-check.)"""
+    from log_aggregator_ray.state.manifest import bloom_any_maybe, sink_bloom
+
+    b = sink_bloom(sorted(sinks))
+    for s in sinks:
+        assert bloom_any_maybe(b, [s])
+    if sinks:
+        assert bloom_any_maybe(b, sorted(sinks))
+    assert sink_bloom(sorted(sinks)) == b  # deterministic across processes
