@@ -148,7 +148,8 @@ def run_benchmarks() -> dict:
     subprocess.run(["sync"], check=False)
     queries, _ = build_catalog()
     for name in ["lineitem_pricing_summary", "revenue_by_nation",
-                 "docs_token_totals", "docs_exact_dedup", "ann_topk"]:
+                 "docs_token_totals", "docs_exact_dedup", "ann_topk",
+                 "docs_neardup_verified"]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

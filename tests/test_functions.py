@@ -42,6 +42,34 @@ def test_minhash_finds_near_dup():
     assert (0, 2) not in vset
 
 
+def test_neardup_verify_paths_agree():
+    """The broadcast-index verify and the join-fallback verify are the
+    same operator: byte-identical output on a corpus with exact dups,
+    near dups, and unrelated docs (including short-text edge cases)."""
+    rng = np.random.default_rng(11)
+    base = [
+        " ".join(rng.choice(list("abcdefgh"), size=60)) for _ in range(20)
+    ]
+    texts, ids = [], []
+    for i, b in enumerate(base):
+        texts += [b, b + " x", b]            # near dup + exact dup
+        ids += [3 * i, 3 * i + 1, 3 * i + 2]
+    texts += ["zz", "zz"]                     # shorter than shingle k
+    ids += [900, 901]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": texts}))
+    kw = dict(num_hashes=32, num_bands=16, threshold=0.7)
+    bc = dedup.neardup_verified_pairs(ds, **kw).to_pandas()
+    jn = dedup.neardup_verified_pairs(ds, broadcast_max_pairs=0,
+                                      **kw).to_pandas()
+    key = ["id_a", "id_b"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, jn)
+    got = set(zip(bc["id_a"], bc["id_b"]))
+    assert (0, 2) in got and (900, 901) in got  # exact dups survive verify
+
+
 def test_simhash_hamming():
     ds = rd.from_arrow(_docs_table())
     sigs = dedup.simhash_signatures(ds).to_pandas()
