@@ -33,7 +33,8 @@ from log_aggregator_ray.pipelines.queries import (
 GOLDEN = ["docs_minhash_pairs", "docs_simhash", "docs_simhash_pairs",
           "ann_lsh_topk", "ann_ivf_topk", "ann_batch_ivf_topk",
           "ann_batch_ivf_recall", "docs_fingerprint_fast",
-          "docs_train_split_fast", "docs_sample_fast", "media_metadata"]
+          "docs_train_split_fast", "docs_sample_fast", "media_metadata",
+          "events_hll_users"]
 
 
 def main():
