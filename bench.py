@@ -34,6 +34,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _init_ray(num_cpus: int):
     import ray
 
+    # GRAFT_PIN_CPUS=1 (set by --scaling legs): bind the WHOLE process
+    # tree — raylet, plasma, workers inherit the affinity mask — to
+    # ``num_cpus`` physical cores.  ray.init(num_cpus=N) only caps
+    # scheduler slots; on an otherwise-idle 32-core box the N-CPU leg
+    # borrows extra cores through Arrow/IO threads and kernel writeback,
+    # inflating its throughput by up to ~2× and making the measured
+    # scaling efficiency swing with ambient load (observed 0.52-1.14 for
+    # the same build).  Pinning makes "a 4-CPU cluster" mean 4 cores,
+    # which is what the two-cluster-size criterion simulates.
+    if os.environ.get("GRAFT_PIN_CPUS") == "1" and hasattr(os, "sched_setaffinity"):
+        avail = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, set(avail[: max(1, num_cpus)]))
+
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -186,6 +199,7 @@ def run_scaling() -> dict:
         time.sleep(5.0)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_PIN_CPUS=os.environ.get("GRAFT_PIN_CPUS", "1"),
                    GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -195,7 +209,19 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+    # INTERLEAVE the legs (lo,hi,lo,hi) and take the best of each: this
+    # box is a shared host whose ambient load drifts on the minutes scale
+    # (observed: the same build measured 0.52-1.14 efficiency depending on
+    # the hour), and a sequential lo-then-hi run hands each leg different
+    # weather.  Interleaving samples both legs under near-identical
+    # conditions; best-of-per-leg then estimates capability, not weather.
+    runs_lo, runs_hi = [], []
+    for _ in range(max(1, rounds)):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -209,6 +235,13 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "turns_per_sec_lo": tput_lo,
         "turns_per_sec_hi": tput_hi,
+        "pairs": [
+            round((h["turns_per_sec"] / l["turns_per_sec"]) / (hi / lo), 3)
+            for l, h in zip(runs_lo, runs_hi)
+        ],
+        "sec_lo_all": [r["value"] for r in runs_lo],
+        "sec_hi_all": [r["value"] for r in runs_hi],
+        "pinned": os.environ.get("GRAFT_PIN_CPUS", "1") == "1",
         "sf": r_hi["sf"],
         "n_turns": r_hi["n_turns"],
     }

@@ -1313,6 +1313,21 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         "n_sinks": sum(m["n_sinks"] for m in all_manifests),
         **phase_times,
     }
+    if len(ran) and "wall_sec" in ran.columns:
+        # phase-2 tail telemetry: the last wave's slowest tasks bound the
+        # wall — keep the top of the per-bucket distribution in the report
+        top = ran.nlargest(6, "wall_sec")
+        extra = [c for c in ("emit_wall_max", "emit_wall_sum",
+                             "last_emit_end", "finalize_sec")
+                 if c in ran.columns]
+        report["p2_task_walls_top"] = [
+            {"bucket": int(r["bucket"]), "wall": round(r["wall_sec"], 2),
+             "rows": int(r["rows_in"]),
+             **{c: round(r[c], 2) for c in extra if pd.notna(r[c])}}
+            for _, r in top.iterrows()
+        ]
+        report["p2_task_wall_p50"] = round(float(ran["wall_sec"].median()), 3)
+        report["p2_task_wall_sum"] = round(float(ran["wall_sec"].sum()), 2)
     return report
 
 
