@@ -478,13 +478,15 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             self.scan_file = scan_file        # prior-part fallback, see above
             self.block_info = block_info
             self.emit = ray.remote(emit_block)
-            # finalize is the tail of the giant key's critical chain: with
-            # a whole-CPU request it queues up to a full normal-wave task
-            # (~1.4 s measured) behind phase 2's pool before its ~1 s of
-            # combine+write.  A fractional request lets it start the moment
-            # the last emit lands — one briefly-oversubscribed core on a
-            # worker, bounded by the (few, by construction) hot sinks.
-            self.finalize = ray.remote(num_cpus=0.5)(finalize_bucket)
+            self.emit_fn = emit_block         # raw fn: lets the objstore
+            # path run emits inside ITS phase-2 scheduling class (one FIFO)
+            # finalize is the tail of the giant key's critical chain: any
+            # nonzero CPU request queues it behind the phase-2 pool (at
+            # 0.5 CPU it still started ~1 s after its last emit landed).
+            # num_cpus=0 schedules it the moment its emit deps resolve —
+            # one briefly-oversubscribed core per hot sink, bounded by the
+            # (few, by construction) hot sinks.
+            self.finalize = ray.remote(num_cpus=0)(finalize_bucket)
 
         @staticmethod
         def group_files(spill_dir: str,
@@ -1064,7 +1066,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             # cluster shape.
             by_bytes = -(-sum(os.path.getsize(p) for p in parts_in)
                          // (128 << 20))
-            n_tasks = min(len(parts_in), max(n_cpus, by_bytes))
+            p1_factor = float(os.environ.get("GRAFT_P1_TASK_FACTOR", "1"))
+            n_tasks = min(len(parts_in),
+                          max(int(n_cpus * p1_factor), by_bytes))
             chunks = [parts_in[i::n_tasks] for i in range(n_tasks)]
             ex = ray.remote(make_exchange_map(
                 num_buckets, hot_hashes, committed, turn_block=turn_block
@@ -1084,14 +1088,27 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                     sizes[bk] = sizes.get(bk, 0) + nb
         phase_times["phase1_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
+        phase_times["p2_t0_abs"] = round(time.time(), 2)
 
+        emit_fn = hot_writer.emit_fn
+
+        # ONE remote function for emits AND normal buckets: Ray queues
+        # lease requests per scheduling class (function × resources), so
+        # with separate classes the submitted-first hot emits were observed
+        # starting ~4 s late behind the normal wave (last_emit_end at
+        # t≈4.8 of a 5.8 s phase 2 at 16 CPUs, emit exec ≤0.45 s) — the
+        # giant key's chain wall-bounded the phase.  A single class makes
+        # the submission order (hot emits → largest buckets) the RUN order.
         @ray.remote
-        def run_bucket(bk: int, refs: list):
-            tabs = [_unship(b) for b in ray.get(list(refs))]
-            fresh = pa.concat_tables(tabs, promote_options="default")
-            merged, pd_, pr_, app = bucket_table(bk, fresh)
-            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_,
-                          append_totals=app)
+        def p2_task(kind: int, a, name, G, refs: list):
+            if kind == 0:  # normal bucket; a = bucket id
+                tabs = [_unship(b) for b in ray.get(list(refs))]
+                fresh = pa.concat_tables(tabs, promote_options="default")
+                merged, pd_, pr_, app = bucket_table(a, fresh)
+                return writer(merged, a, prior_dups=pd_, prior_rows=pr_,
+                              append_totals=app)
+            # hot emit; a = prior files for this turn block
+            return emit_fn(a, name, G, *ray.get(list(refs)))
 
         # hot pseudo-buckets FIRST: gates resolve instantly from the
         # map-side summaries, so the giant key's emit blocks (the longest
@@ -1125,9 +1142,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                 + time.perf_counter() - tg, 3
             )
             emits = [
-                hot_writer.emit.remote(
-                    prior_by_block.get(blk, []), f"{bk:05d}.{blk:04d}", G,
-                    *new_blocks.get(blk, []),
+                p2_task.remote(
+                    1, prior_by_block.get(blk, []), f"{bk:05d}.{blk:04d}",
+                    G, list(new_blocks.get(blk, [])),
                 )
                 for blk in blocks
             ]
@@ -1138,7 +1155,8 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         # of landing in the last wave and wall-bounding phase 2
         norm_todo = sorted(norm_refs, key=lambda b: sizes.get(b, 0),
                            reverse=True)
-        norm_futs = [run_bucket.remote(b, norm_refs[b]) for b in norm_todo]
+        norm_futs = [p2_task.remote(0, b, None, None, norm_refs[b])
+                     for b in norm_todo]
         ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
         norm_refs.clear()   # release exchange objects
         hot_blocks.clear()
