@@ -1196,9 +1196,16 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         # phase 2: one ordinary Ray task per spilled bucket.  (The Dataset
         # API can't express "one task per on-disk partition, no re-shuffle";
         # this is the documented drop-to-ray-tasks case.)
+        spill_emit_fn = hot_writer.emit_fn
+
+        # one scheduling class for emits + normal buckets, same reason as
+        # the objstore path: separate classes let the normal wave starve
+        # the submitted-first hot emits (see the objstore p2_task note)
         @ray.remote
-        def run_bucket(bk: int):
-            d = os.path.join(spill_root, f"bucket={bk:05d}")
+        def p2_spill_task(kind: int, a, name, G):
+            if kind == 1:  # hot emit; a = this turn block's spill files
+                return spill_emit_fn(a, name, G)
+            d = os.path.join(spill_root, f"bucket={a:05d}")
             fresh = pa.concat_tables(
                 [
                     _read_spill_file(os.path.join(d, f))
@@ -1207,8 +1214,8 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                 ],
                 promote_options="default",
             )
-            merged, pd_, pr_, app = bucket_table(bk, fresh)
-            return writer(merged, bk, prior_dups=pd_, prior_rows=pr_,
+            merged, pd_, pr_, app = bucket_table(a, fresh)
+            return writer(merged, a, prior_dups=pd_, prior_rows=pr_,
                           append_totals=app)
 
         def _dir_bytes(bk: int) -> int:
@@ -1255,13 +1262,14 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                 + time.perf_counter() - tg, 3
             )
             emits = [
-                hot_writer.emit.remote(groups[b], f"{bk:05d}.{b:04d}", G)
+                p2_spill_task.remote(1, groups[b], f"{bk:05d}.{b:04d}", G)
                 for b in blocks
             ]
             hot_futs.append(hot_writer.finalize.remote(
                 bk, blocks, _pd, _pr, time.perf_counter(), *emits
             ))
-        norm_futs = [run_bucket.remote(b) for b in norm_todo]
+        norm_futs = [p2_spill_task.remote(0, b, None, None)
+                     for b in norm_todo]
         ran_parts = ray.get(norm_futs) + ray.get(hot_futs)
         ran = pd.concat(ran_parts) if ran_parts else pd.DataFrame()
         phase_times["phase2_sec"] = round(time.perf_counter() - t0, 3)
