@@ -445,6 +445,8 @@ def _segmented_member_counts(target: np.ndarray, pair: np.ndarray,
     VECTORIZED binary search (log2(max-set) passes of whole-array compares
     — no per-pair Python, no global sort of the expanded rows), and return
     per-pair match counts.  ~3× cheaper than the lexsort formulation."""
+    if len(pair) == 0 or len(vals) == 0:
+        return np.zeros(n_pairs, np.int64)
     lo = seg_lo[pair].astype(np.int64)
     hi = seg_hi[pair].astype(np.int64)
     end = hi.copy()
@@ -490,7 +492,11 @@ def _corpus_shingle_sets(docs_ds, needed_ids: np.ndarray, k: int,
         docs_ds.map_batches(hash_block, batch_format="pyarrow",
                             zero_copy_batch=True).to_arrow_refs()
     )
-    tbl = pa.concat_tables([p for p in parts if p.num_rows], promote_options="default")
+    parts = [p for p in parts if p.num_rows]
+    if not parts:  # zero candidate pairs → empty index
+        return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                np.empty(0, np.uint64))
+    tbl = pa.concat_tables(parts, promote_options="default")
     order = pc.sort_indices(tbl[id_col])
     tbl = tbl.take(order)
     ids = tbl[id_col].to_numpy()
@@ -531,7 +537,15 @@ def neardup_verified_pairs(docs_ds, pairs_ds=None, k: int = 5,
     else:
         pairs_ds = pairs_ds.materialize()
 
-    if pairs_ds.count() <= broadcast_max_pairs:
+    n_cand = pairs_ds.count()
+    if n_cand == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    if n_cand <= broadcast_max_pairs:
         return _neardup_verify_broadcast(docs_ds, pairs_ds, k, threshold,
                                          id_col, text_col)
 
@@ -622,13 +636,15 @@ def _neardup_verify_broadcast(docs_ds, pairs_ds, k: int, threshold: float,
     See neardup_verified_pairs for when this path is chosen."""
     # distinct candidate doc ids (driver-side: two int64 columns of an
     # already-bounded candidate set — ≤ 2×broadcast_max_pairs values)
-    id_parts = ray.get(
+    id_parts = [p for p in ray.get(
         pairs_ds.select_columns(["id_a", "id_b"]).to_arrow_refs())
-    id_tbl = pa.concat_tables([p for p in id_parts if p.num_rows])
+        if p.num_rows]
     needed = np.unique(np.concatenate([
-        id_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-        id_tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
-    ])) if id_tbl.num_rows else np.empty(0, np.int64)
+        np.concatenate([p["id_a"].to_numpy(zero_copy_only=False)
+                        for p in id_parts]),
+        np.concatenate([p["id_b"].to_numpy(zero_copy_only=False)
+                        for p in id_parts]),
+    ]).astype(np.int64)) if id_parts else np.empty(0, np.int64)
     ids, off, vals = _corpus_shingle_sets(docs_ds, needed, k, id_col,
                                           text_col)
     index_ref = ray.put((ids, off, vals))
@@ -676,11 +692,16 @@ def _neardup_verify_broadcast(docs_ds, pairs_ds, k: int, threshold: float,
         })
 
     # repartition for task parallelism: map_batches tasks are per BLOCK,
-    # and a materialized pairs set often has few large blocks
+    # and a materialized pairs set often has few large blocks.  Cap the
+    # block count by candidate volume — over-splitting a small pair set
+    # mints EMPTY schemaless blocks that poison the result schema (Ray
+    # unions block schemas; an empty "." block wins)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_pairs = pairs_ds.count()
+    n_blocks = max(1, min(max(2 * n_cpus, 16), n_pairs // 2048))
     return (
         pairs_ds.select_columns(["id_a", "id_b"])
-        .repartition(max(2 * n_cpus, 16))
+        .repartition(n_blocks)
         .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
     )
 

@@ -70,6 +70,29 @@ def test_neardup_verify_paths_agree():
     assert (0, 2) in got and (900, 901) in got  # exact dups survive verify
 
 
+def test_neardup_verify_zero_candidates():
+    """A corpus with no LSH collisions yields an EMPTY typed result on
+    both verify paths (the broadcast index must handle zero candidate
+    pairs without touching pa.concat_tables of nothing)."""
+    texts = [f"utterly distinct document number {i} " + "x" * i
+             for i in range(8)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": texts,
+    }))
+    for kw in ({}, {"broadcast_max_pairs": 0}):
+        out = dedup.neardup_verified_pairs(
+            ds, num_hashes=16, num_bands=2, threshold=0.99, **kw
+        ).materialize()
+        # typed blocks even when nothing survives the threshold
+        # (Dataset.to_pandas drops columns on all-empty datasets — assert
+        # on the block schema instead)
+        assert out.schema().names == ["id_a", "id_b", "jaccard"]
+        df = out.to_pandas()
+        if len(df):
+            assert (df["jaccard"] >= 0.99).all()
+
+
 def test_simhash_hamming():
     ds = rd.from_arrow(_docs_table())
     sigs = dedup.simhash_signatures(ds).to_pandas()
