@@ -217,3 +217,47 @@ def assemble_docs(ds):
     only (same key as the first shuffle)."""
     routed = routed_only(ds)
     return routed.groupby("bucket").map_groups(_assemble_bucket, batch_format="pyarrow")
+
+
+def bucketed_pivot(ds, row_key: str, col_key: str, value_col: str,
+                   col_values: list, agg: str = "sum",
+                   num_buckets: int = 64, round_to: int | None = 2):
+    """Distributed PIVOT: one output row per ``row_key`` value, one column
+    per ``col_values`` entry holding agg(value_col) of that (row, col)
+    cell — SQL's conditional-aggregation pivot, reshaped for scale.
+
+    Shape: rows (e.g. days, users) may be huge → they ride the bucketed
+    exchange; columns are a SMALL, KNOWN dimension (pass ``col_values``
+    explicitly — a data-dependent column set would make block schemas
+    nondeterministic).  Per-batch pyarrow partials on (row, col) → one
+    shuffle of partial rows → per-bucket vectorized pivot_table, absent
+    cells filled 0.  Never a per-row Python loop, never a driver
+    materialization of the row dimension."""
+    fn = {"sum": "sum", "count": "count", "min": "min", "max": "max"}[agg]
+    aggs = {"v": (value_col, fn)}
+    uniq = _agg_specs([row_key, col_key], aggs)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by([row_key, col_key]).aggregate(uniq).to_pandas()
+        g["__bucket"] = _key_bucket(g, [row_key], num_buckets)
+        return _arrow_clean(g)
+
+    partial = ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def pivot(df: pd.DataFrame) -> pa.Table:
+        comb = _combine_partials(
+            df.drop(columns="__bucket"), [row_key, col_key], aggs
+        )
+        wide = comb.pivot_table(index=row_key, columns=col_key, values="v",
+                                aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=col_values, fill_value=0)
+        wide.columns = [str(c) for c in col_values]
+        if round_to is not None and fn in ("sum", "min", "max"):
+            wide = wide.round(round_to)
+        if fn == "count":
+            wide = wide.astype("int64")
+        return _arrow_clean(wide.reset_index())
+
+    return partial.groupby("__bucket").map_groups(pivot,
+                                                  batch_format="pandas")

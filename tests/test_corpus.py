@@ -294,3 +294,35 @@ def test_hll_group_distinct_accuracy():
     for g in ["a", "b", "c"]:
         assert abs(est1[g] - exact[g]) / exact[g] < 0.05, (g, est1[g], exact[g])
         assert est1[g] == est2[g]  # partition-order invariant
+
+
+def test_bucketed_pivot_matches_pandas():
+    """bucketed_pivot vs an in-process pandas pivot_table: absent cells
+    fill 0, explicit column set fixes the schema, count mode stays int."""
+    from log_aggregator_ray.stages.aggregate import bucketed_pivot
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "row": rng.integers(0, 40, n).astype("int64"),
+        "col": rng.choice(["a", "b", "c"], n),
+        "v": np.round(rng.random(n) * 10, 2),
+    })
+    df = df[~((df.row == 7) & (df.col == "b"))]  # a hole to fill with 0
+    got = (
+        bucketed_pivot(rd.from_pandas(df).repartition(6), "row", "col",
+                       "v", col_values=["a", "b", "c", "never"],
+                       num_buckets=4)
+        .to_pandas().sort_values("row").reset_index(drop=True)
+    )
+    exp = (
+        df.pivot_table(index="row", columns="col", values="v",
+                       aggfunc="sum", fill_value=0)
+        .reindex(columns=["a", "b", "c", "never"], fill_value=0)
+        .round(2).reset_index()
+    )
+    exp.columns = ["row", "a", "b", "c", "never"]
+    assert list(got.columns) == ["row", "a", "b", "c", "never"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+    assert (got["never"] == 0).all()
