@@ -230,7 +230,13 @@ def make_fake_media(n: int = 64, seed: int = 42) -> pa.Table:
     for i in range(n):
         if mods[i] == "image":
             if i % 2:
-                payloads.append(build_png(int(widths[i]), int(heights[i])))
+                # real pixels (kept small): the PNG decode path runs for
+                # real; dims reflect the actual pixel array
+                pw, ph = int(widths[i] % 48 + 4), int(heights[i] % 48 + 4)
+                widths[i], heights[i] = pw, ph
+                px = rng.integers(0, 256, (ph, pw, 3)).astype(np.uint8)
+                payloads.append(
+                    encode_png(px, filters=rng.integers(0, 5, ph)))
                 mimes.append("image/png")
             else:
                 payloads.append(build_jpeg(int(widths[i]), int(heights[i])))
@@ -269,12 +275,30 @@ def _decode_stub(payload: bytes, modality: str) -> np.ndarray:
     return np.frombuffer(h, dtype=np.uint8).reshape(-1, 4)[:16].mean(axis=1) / 255.0
 
 
+def _real_features(decoded: np.ndarray) -> np.ndarray:
+    """16-dim feature vector from REAL decoded content: global mean, std,
+    then a 14-bin value histogram (images: pixel intensities / 255;
+    audio: samples mapped to [0, 1))."""
+    is_pixels = decoded.dtype == np.uint8
+    x = decoded.astype(np.float64).ravel()
+    if x.size == 0:
+        return np.zeros(16)
+    if is_pixels:          # uint8 pixels → [0, 1]
+        x = x / 255.0
+    else:                  # float audio in [-1, 1) → [0, 1)
+        x = (x + 1.0) / 2.0
+    hist, _ = np.histogram(x, bins=14, range=(0.0, 1.0))
+    return np.r_[x.mean(), x.std(), hist / max(x.size, 1)]
+
+
 class MediaFeaturizer:
     """Actor-pool stage: payload → fixed-size feature vector + basic stats.
 
-    Real deployments load the codec/model once here (__init__); per batch it
-    decodes and featurizes.  Output drops the payload (the expensive column
-    dies as early as possible)."""
+    PNG pixels and WAV samples decode FOR REAL (decode_media — stdlib
+    zlib + struct); only external-codec formats (JPEG, video) fall back
+    to the documented stub.  Real deployments load the codec/model once
+    here (__init__); per batch it decodes and featurizes.  Output drops
+    the payload (the expensive column dies as early as possible)."""
 
     def __init__(self, feature_dim: int = 16):
         self.feature_dim = feature_dim
@@ -282,14 +306,26 @@ class MediaFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         mods = batch["modality"].to_pylist()
-        feats = np.stack([_decode_stub(p, m) for p, m in zip(payloads, mods)])
+        mimes = batch["mime"].to_pylist() if "mime" in batch.column_names \
+            else [""] * len(payloads)
+        feats, real = [], []
+        for p, m, mime in zip(payloads, mods, mimes):
+            decoded = decode_media(p, mime)
+            if decoded is not None:
+                feats.append(_real_features(decoded))
+                real.append(True)
+            else:
+                feats.append(_decode_stub(p, m))
+                real.append(False)
         sizes = np.array([len(p) for p in payloads], dtype=np.int64)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "modality": batch["modality"],
                 "payload_bytes": pa.array(sizes, pa.int64()),
-                "features": pa.array(list(feats), pa.list_(pa.float64())),
+                "features": pa.array([np.asarray(f) for f in feats],
+                                     pa.list_(pa.float64())),
+                "decoded_real": pa.array(real, pa.bool_()),
             }
         )
 
@@ -406,3 +442,174 @@ def sample_frames(ds, frames_per_video: int = 4, concurrency=2, batch_size: int 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode for stdlib-decodable codecs (round 3)
+# ---------------------------------------------------------------------------
+# PNG needs only zlib (stdlib) + the spec's five scanline filters; WAV PCM
+# is a struct layout.  These paths replace _decode_stub for image/png and
+# audio/wav — only codecs that genuinely need external libraries (JPEG
+# entropy decode, video) remain stubbed.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """Spec-conformant PNG encoder for uint8 gray/RGB/RGBA arrays.
+
+    ``filters``: per-row filter ids (0-4) to exercise decoder paths;
+    default all 0 (None filter).  Test-vector generator — the decoder
+    below must round-trip any choice."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    arr = arr.astype(np.uint8)
+    filters = [0] * h if filters is None else list(filters)
+    rows = []
+    prev = np.zeros((w, c), np.int32)
+    for y in range(h):
+        cur = arr[y].astype(np.int32)
+        f = filters[y]
+        left = np.vstack([np.zeros((1, c), np.int32), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, c), np.int32), prev[:-1]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            out = cur - pred
+        rows.append(bytes([f]) + (out & 255).astype(np.uint8).tobytes())
+        prev = cur
+    raw = zlib.compress(b"".join(rows))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Real PNG pixel decode: chunk walk → zlib inflate → un-filter all
+    five spec filters → (h, w, channels) uint8.  Supports bit depth 8,
+    color types 0/2/4/6, no interlace (the overwhelmingly common shape;
+    anything else raises).  Filters None/Sub/Up are fully vectorized
+    (Sub is a per-lane cumsum); Average/Paeth carry a true left-pixel
+    recurrence, done per row.  A production deployment swaps this for a
+    C codec; the semantics and the Ray plumbing are identical."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[pos:pos + 8])
+        data = b[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, ctype={ctype}, "
+                    f"interlace={interlace})")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG has no pixel data")
+    c = _PNG_CHANNELS[ctype]
+    rowbytes = w * c
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (rowbytes + 1):
+        raise ValueError("PNG scanline size mismatch")
+    raw = raw.reshape(h, rowbytes + 1)
+    out = np.zeros((h, rowbytes), np.int32)
+    prev = np.zeros(rowbytes, np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            cur = row.copy()
+            for lane in range(c):
+                cur[lane::c] = np.cumsum(cur[lane::c]) & 255
+        elif f == 2:
+            cur = (row + prev) & 255
+        elif f in (3, 4):  # true left recurrence: per-pixel along the row
+            cur = np.empty(rowbytes, np.int32)
+            for x in range(rowbytes):
+                left = cur[x - c] if x >= c else 0
+                up = prev[x]
+                ul = prev[x - c] if x >= c else 0
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa_ <= pb and pa_ <= pc_
+                            else up if pb <= pc_ else ul)
+                cur[x] = (row[x] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV PCM decode → (float32 samples in [-1, 1) shaped
+    (n, channels), sample_rate).  PCM 8/16-bit; anything else raises."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        typ, ln = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        chunk = b[pos + 8: pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif typ == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data")
+    codec, channels, rate, _br, _ba, bits = fmt
+    if codec != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (codec={codec}, bits={bits})")
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(
+            np.float32) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    n = len(x) // max(channels, 1) * channels
+    return x[:n].reshape(-1, channels), rate
+
+
+def decode_media(payload: bytes, mime: str) -> np.ndarray | None:
+    """Dispatch to a REAL decoder when the codec is stdlib-decodable
+    (PNG pixels, WAV samples); None means 'needs an external codec'
+    (JPEG entropy decode, video) — callers fall back to the documented
+    stub for those."""
+    try:
+        if mime == "image/png":
+            return decode_png(payload)
+        if mime == "audio/wav":
+            return decode_wav(payload)[0]
+    except ValueError:
+        return None  # well-formed header but no/unsupported pixel data
+    return None

@@ -583,3 +583,70 @@ def test_runs_pairs_no_packed_key_collision():
     pairs = dedup._runs_pairs(df, "doc_id")
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert got == {(10, 11), (20, 21)}  # no cross-bucket pair
+
+
+def test_png_wav_real_decode_roundtrip():
+    """decode_png is a real spec decoder: round-trips every filter type
+    and color type against encode_png, and a hand-built vector; WAV PCM16
+    decodes to the exact samples."""
+    rng = np.random.default_rng(1)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, (11, 7, c)).astype(np.uint8)
+        for filters in ([0] * 11, [1] * 11, [2] * 11, [3] * 11, [4] * 11,
+                        rng.integers(0, 5, 11)):
+            assert np.array_equal(
+                multimodal.decode_png(multimodal.encode_png(arr, filters)),
+                arr)
+    # hand-built 1x3 gray, Sub filter: raw deltas 10, 5, 250 → cumsum mod 256
+    import struct, zlib
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes([1, 10, 5, 250])))
+           + chunk(b"IEND", b""))
+    assert multimodal.decode_png(png).ravel().tolist() == [10, 15, 9]
+    # WAV: exact PCM16 samples back
+    samples = (np.array([0, 16384, -16384, 32767, -32768], "<i2"))
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 10) + samples.tobytes())
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    x, rate = multimodal.decode_wav(wav)
+    assert rate == 8000
+    assert np.allclose(x.ravel() * 32768.0, samples.astype(np.float64))
+    # metadata-only PNG (no IDAT) and JPEG are NOT silently faked
+    assert multimodal.decode_media(multimodal.build_png(5, 5),
+                                   "image/png") is None
+    assert multimodal.decode_media(multimodal.build_jpeg(5, 5),
+                                   "image/jpeg") is None
+
+
+def test_featurizer_uses_real_decode():
+    """MediaFeaturizer marks stdlib-decodable payloads as decoded_real
+    and derives features from actual pixels/samples (two images with
+    different pixels but identical container metadata get different
+    features)."""
+    import ray.data as _rd
+
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.full((8, 8, 3), 200, np.uint8)
+    t = pa.table({
+        "media_id": pa.array(["a", "b", "j"], pa.string()),
+        "modality": pa.array(["image", "image", "image"], pa.string()),
+        "payload": pa.array([multimodal.encode_png(a),
+                             multimodal.encode_png(b),
+                             multimodal.build_jpeg(8, 8)], pa.binary()),
+        "mime": pa.array(["image/png", "image/png", "image/jpeg"],
+                         pa.string()),
+    })
+    out = multimodal.featurize_media(_rd.from_arrow(t), concurrency=1,
+                                     batch_size=4).to_pandas()
+    out = out.set_index("media_id")
+    assert bool(out.loc["a", "decoded_real"]) is True
+    assert bool(out.loc["j", "decoded_real"]) is False  # JPEG needs a codec
+    fa = np.asarray(out.loc["a", "features"])
+    fb = np.asarray(out.loc["b", "features"])
+    assert fa[0] == 0.0 and abs(fb[0] - 200 / 255) < 1e-9
+    assert not np.allclose(fa, fb)
