@@ -663,6 +663,13 @@ def _neardup_verify_broadcast(docs_ds, pairs_ds, k: int, threshold: float,
         ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         ra = np.searchsorted(ids_s, ia)
         rb = np.searchsorted(ids_s, ib)
+        nid = len(ids_s)
+        if (ra >= nid).any() or (rb >= nid).any() or \
+                (ids_s[np.minimum(ra, nid - 1)] != ia).any() or \
+                (ids_s[np.minimum(rb, nid - 1)] != ib).any():
+            raise ValueError(
+                "candidate pair references a doc_id absent from docs_ds "
+                "(pairs_ds must come from the same corpus)")
         na = off_s[ra + 1] - off_s[ra]
         nb = off_s[rb + 1] - off_s[rb]
         # EXACT size prefilter: |A∩B| ≤ min, |A∪B| ≥ max ⇒ jac ≤ min/max.
