@@ -329,12 +329,24 @@ def content_hash128_fast(texts) -> tuple[np.ndarray, np.ndarray]:
     (Rust kernel, measured 2.3 GB/s vs 0.2 GB/s for per-row md5 and
     0.01 GB/s for the byte-rolling ``content_hash128``): two independent
     seeds ≈ 128-bit collision resistance, deterministic across processes
-    for a pinned polars version.  Falls back to ``content_hash128`` if
-    polars is absent."""
+    for a pinned polars version.
+
+    Backend is NOT negotiable per worker: a silent fallback inside a
+    distributed map would let a polars-less (or differently-versioned)
+    worker hash the same text differently in the same run, silently
+    corrupting exact dedup (ADVICE r3) — so a missing polars RAISES; use
+    ``content_hash128`` explicitly for a polars-free deployment, and pin
+    one polars version across the cluster (its hash is not stable across
+    versions)."""
     try:
         import polars as pl
     except ImportError:  # pragma: no cover — polars is in the base env
-        return content_hash128(texts)
+        raise RuntimeError(
+            "content_hash128_fast requires polars on EVERY worker (a "
+            "per-worker fallback would mix hash functions within one run "
+            "and silently break dedup); install polars or call "
+            "content_hash128 instead"
+        ) from None
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     s = pl.from_arrow(texts)

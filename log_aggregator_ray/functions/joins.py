@@ -170,6 +170,7 @@ def bucketed_asof_join(left, right, key: str, on: str,
 
     l_types = _types(left, left_cols)
     r_types = _types(right, right_cols)
+    r_on_is_int = pa.types.is_integer(_types(right, [on])[on])
     union_payload = left_cols + right_cols
 
     def make_tag(side: int, own: list[str], other_types: dict):
@@ -207,9 +208,19 @@ def bucketed_asof_join(left, right, key: str, on: str,
             .to_pandas().sort_values([on] + right_cols, kind="mergesort")
             .rename(columns={on: on_r})
         )
+        # the right-on column is right payload too: merge_asof emits it
+        # with NaN for unmatched left rows, degrading an int64 `on` to
+        # float64 and losing exactness beyond 2^53 (e.g. hash ids as the
+        # ordering key) — so carry an exact nullable-Int64 twin through
+        # the merge as payload and swap it in afterward (ADVICE r3)
+        if r_on_is_int:
+            r["__on_exact"] = r[on_r].astype("Int64")
         out = pd.merge_asof(
             l, r, left_on=on, right_on=on_r, by=key, direction="backward"
         )
+        if r_on_is_int:
+            out[on_r] = out["__on_exact"]
+            out = out.drop(columns=["__on_exact"])
         # unmatched left rows put NaN into integer right payloads; pandas'
         # nullable Int64 keeps them exact int64-with-null through Arrow
         for c, t_ in r_types.items():
@@ -345,7 +356,8 @@ def bucketed_range_agg_join(left, right, key: str, on: str,
                             window, agg_col: str | None = None,
                             num_buckets: int = 32,
                             count_name: str = "n_in_range",
-                            sum_name: str = "sum_in_range"):
+                            sum_name: str = "sum_in_range",
+                            round_to: int | None = None):
     """Keyed RANGE join + windowed aggregate: for each LEFT row, count (and
     optionally sum ``agg_col`` over) the RIGHT rows with the same ``key``
     whose ``on`` lies in the half-open window ``(left.on - window,
@@ -454,7 +466,12 @@ def bucketed_range_agg_join(left, right, key: str, on: str,
                 idx[1::2] = ub
                 s = np.add.reduceat(v2, idx)[0::2]
                 s[cnt <= 0] = 0.0
-            cols[sum_name] = pa.array(np.round(s, 2), pa.float64())
+            # rounding is the CALLER's comparison convention (the catalog
+            # passes round_to=2 for money); a general aggregate must not
+            # silently drop precision (ADVICE r3)
+            if round_to is not None:
+                s = np.round(s, round_to)
+            cols[sum_name] = pa.array(s, pa.float64())
         return pa.table(cols).replace_schema_metadata(None)
 
     return (

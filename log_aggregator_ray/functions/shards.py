@@ -34,6 +34,25 @@ def _md5_keys(ids) -> list[str]:
     return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
 
 
+def _check_order(order: str, num_ranges: int) -> None:
+    """Driver-side validation (BEFORE any task launches — an in-task raise
+    surfaces as an opaque RayTaskError after a partial run).  The fast
+    order derives the range id by bit shift, so a non-power-of-two count
+    would silently truncate the shift and leave ranges/shards permanently
+    empty (ADVICE r3); the md5 order ranges on a hex-prefix."""
+    if order == "md5":
+        if num_ranges not in (16, 256):
+            raise ValueError("md5 order supports num_ranges 16 or 256")
+    elif order == "fast":
+        if num_ranges < 2 or (num_ranges & (num_ranges - 1)) != 0:
+            raise ValueError(
+                f"fast order requires a power-of-two num_ranges/num_shards "
+                f"(got {num_ranges})"
+            )
+    else:
+        raise ValueError(f"order must be 'md5' or 'fast', got {order!r}")
+
+
 def _add_order_cols(t: pa.Table, id_col: str, order: str,
                     num_ranges: int) -> tuple[pa.Table, np.ndarray]:
     """Append the order key and its range id (the range partitioner must
@@ -48,6 +67,14 @@ def _add_order_cols(t: pa.Table, id_col: str, order: str,
     if order == "fast":
         from ..stages.route import stable_hash
 
+        # mirror the md5 branch's explicit check: a non-power-of-two count
+        # would silently truncate the shift and leave ranges/shards
+        # permanently empty (ADVICE r3)
+        if num_ranges < 2 or (num_ranges & (num_ranges - 1)) != 0:
+            raise ValueError(
+                f"fast order requires a power-of-two num_ranges/num_shards "
+                f"(got {num_ranges})"
+            )
         ids = t[id_col].to_numpy(zero_copy_only=False)
         h = stable_hash(ids.astype(object))
         shift = np.uint64(64 - int(np.log2(num_ranges)))
@@ -85,6 +112,7 @@ def pack_sequences(ds, budget: int = 2048, text_col: str = "text",
 
     Returns a Dataset of (id, tokens, pack_id).
     """
+    _check_order(order, num_ranges)
     keep = [c for c in (id_col, text_col) if c in ds.schema().names]
     ds = ds.map_batches(
         lambda t: t.select(keep), batch_format="pyarrow", zero_copy_batch=True
@@ -158,6 +186,7 @@ def assign_shards(ds, num_shards: int = 16, id_col: str = "doc_id",
     the unit you'd hand to a shard writer.  Returns (id, shard, pos)."""
     if order == "md5" and num_shards != 16:
         raise ValueError("md5 order supports num_shards=16 (hex prefix)")
+    _check_order(order, num_shards)
 
     keep = [id_col]
 

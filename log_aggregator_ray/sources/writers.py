@@ -84,6 +84,17 @@ def write_bucketed_parquet(ds, out_dir: str, key_col: str,
                 f"resume with changed partitioning: committed={prev}, "
                 f"requested={meta}; use resume=False or a fresh out_dir"
             )
+    if not resume:
+        # a fresh (non-resumed) write must not inherit stale state: with
+        # fewer buckets, leftover bucket files would be read back as mixed
+        # old+new rows and their manifests would count as committed under
+        # the new meta on a later resume (ADVICE r3) — delete both first
+        for f in os.listdir(out_dir):
+            if f.startswith("bucket=") and f.endswith(".parquet"):
+                os.remove(os.path.join(out_dir, f))
+        for f in os.listdir(_manifest_dir(out_dir)):
+            if f.startswith("bucket-") and f.endswith(".json"):
+                os.remove(os.path.join(_manifest_dir(out_dir), f))
     tmp_meta = f"{meta_path}.tmp-{os.getpid()}"
     with open(tmp_meta, "w") as fh:
         json.dump(meta, fh)

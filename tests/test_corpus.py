@@ -53,6 +53,35 @@ def test_asof_join_matches_pandas():
     assert len(matched) and (matched.astype("int64") >= (1 << 60)).all()
 
 
+def test_asof_join_int_on_column_stays_exact():
+    """The right-on column is right payload too: with an int64 `on` beyond
+    2^53 and unmatched left rows present, on_r must come back as nullable
+    Int64 (exact), not float64 NaN (ADVICE r3)."""
+    base = 1 << 60
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 2], dtype="int64"),
+        "ts": np.array([base + 10, base + 1, base + 5], dtype="int64"),
+        "lv": np.array([0, 1, 2], dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": np.array([1], dtype="int64"),
+        "ts": np.array([base + 3], dtype="int64"),
+        "rv": np.array([7], dtype="int64"),
+    })
+    ds = bucketed_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", "ts", ["lv"], ["rv"], num_buckets=2,
+    )
+    # inspect at the Arrow level — the driver's compare (and any parquet
+    # sink) reads Arrow; a later .to_pandas() degrading int64+null to
+    # float64 is pandas' lossy default, not the operator's output
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert pa.types.is_integer(got.schema.field("ts_r").type)
+    by_lv = {r["lv"]: r for r in got.to_pylist()}
+    assert by_lv[0]["ts_r"] == base + 3  # bit-exact, no 2^53 loss
+    assert by_lv[1]["ts_r"] is None and by_lv[2]["ts_r"] is None
+
+
 def test_top_tokens_matches_pandas():
     texts = [
         "the cat sat on the mat",
@@ -261,13 +290,24 @@ def test_range_agg_join_matches_bruteforce():
         m = right[(right.k == row.k) & (right.on > row.on - W)
                   & (right.on <= row.on)]
         exp_n.append(len(m))
-        exp_s.append(round(m.v.sum(), 2))
+        exp_s.append(m.v.sum())
     assert len(got) == n_l
     assert got["n_in_range"].tolist() == exp_n
+    # default round_to=None: full precision preserved (ADVICE r3)
     assert np.allclose(got["sum_in_range"], exp_s, atol=1e-9)
     # left rows with right-absent keys kept at zero
     absent = got[left.sort_values("lid").reset_index(drop=True).k == 14]
     assert (absent["n_in_range"] == 0).all()
+    # opt-in rounding matches round(sum, 2)
+    got2 = (
+        bucketed_range_agg_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            "k", "on", window=W, agg_col="v", num_buckets=4, round_to=2,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert np.allclose(got2["sum_in_range"], np.round(exp_s, 2), atol=1e-9)
 
 
 def test_hll_group_distinct_accuracy():

@@ -102,6 +102,25 @@ def test_assign_shards_matches_md5_reference(docs):
         assert sorted(g["pos"]) == list(range(len(g)))
 
 
+def test_fast_order_rejects_non_power_of_two(docs):
+    """order='fast' derives the range id by a bit shift; a non-power-of-two
+    count silently truncated the shift and left shards permanently empty
+    (ADVICE r3) — must raise instead."""
+    with pytest.raises(ValueError, match="power-of-two"):
+        shards.assign_shards(
+            rd.from_arrow(docs), num_shards=24, order="fast"
+        ).materialize()
+    with pytest.raises(ValueError, match="power-of-two"):
+        shards.pack_sequences(
+            rd.from_arrow(docs), budget=128, order="fast", num_ranges=12
+        ).materialize()
+    # power-of-two counts beyond the md5 16/256 pair are fine
+    got = shards.assign_shards(
+        rd.from_arrow(docs), num_shards=32, order="fast"
+    ).to_pandas()
+    assert got["shard"].between(0, 31).all()
+
+
 def test_decontaminate_flags_exact_substrings(docs):
     texts = docs["text"].to_pylist()
     snippets = [texts[5][:20], texts[100][:25]]

@@ -91,3 +91,29 @@ def test_resume_rejects_changed_partitioning(table, tmp_path):
     with pytest.raises(ValueError, match="changed partitioning"):
         writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
                                        num_buckets=16)
+
+
+def test_fresh_write_cleans_stale_buckets(table, tmp_path):
+    """resume=False into a dirty out_dir must not leave stale bucket files
+    or manifests behind (ADVICE r3): rewriting 16 buckets over a previous
+    64-bucket write would otherwise read back mixed old+new rows, and a
+    later resume would trust the stale manifests under the new meta."""
+    out = str(tmp_path / "out")
+    writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
+                                   num_buckets=64)
+    writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
+                                   num_buckets=16, resume=False)
+    # exactly the new layout on disk — data AND manifests
+    parts = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(parts) <= 16
+    mans = glob.glob(os.path.join(out, "_manifests", "bucket-*.json"))
+    assert {os.path.basename(p) for p in mans} == {
+        f"bucket-{int(os.path.basename(p).split('=')[1].split('.')[0]):05d}.json"
+        for p in parts
+    }
+    exp = table.to_pandas().sort_values(["user", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(_read_all(out), exp)
+    # and a subsequent resume over the clean state is a no-op
+    rep = writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
+                                         num_buckets=16)
+    assert rep["buckets"] == 0 and rep["skipped"] == len(parts)
