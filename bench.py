@@ -59,6 +59,32 @@ def _init_ray(num_cpus: int):
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        """Drop ONLY Ray 2.49's schema-divergence warning for the
+        empty-NEW-schema case: an all-to-all stage (sort/groupby) emits
+        its empty output partitions as schemaless RefBundles whenever
+        there are more partitions than distinct keys, and the executor
+        warns 'new schema: .'.  Ray already skips the warning when the
+        PREVIOUS schema is empty (streaming_executor_state.py:783) but
+        not when the new one is; the case is provably benign and cannot
+        be prevented from user code — the bundles are built by the sort
+        operator itself, before any UDF runs (verified: a map_batches
+        UDF yielding typed empty tables still triggers it).  Real
+        schema divergences (both sides non-empty) still warn."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            m = record.getMessage()
+            empty_new = ("new schema: ." in m or
+                         "new schema: PandasBlockSchema(names=[], types=[])"
+                         in m)
+            return not ("different schema" in m and empty_new)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())
+
 
 def ensure_bench_corpus(sf_dir: str) -> str:
     """Headline corpus: 4× the correctness corpus (~21M turns at sf0.1).

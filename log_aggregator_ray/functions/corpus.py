@@ -133,8 +133,7 @@ def stratified_sample(ds, strata_col: str, rates: dict,
         if method == "fast":
             from ..stages.route import stable_hash
 
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            h = stable_hash(ids.astype(object)).astype(np.uint64)
+            h = stable_hash(t[id_col])  # zero-copy off the Arrow buffers
             mask = (h % np.uint64(10_000)) < (rate * 10_000).astype(np.uint64)
         else:
             u32 = np.fromiter(

@@ -75,8 +75,7 @@ def _add_order_cols(t: pa.Table, id_col: str, order: str,
                 f"fast order requires a power-of-two num_ranges/num_shards "
                 f"(got {num_ranges})"
             )
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        h = stable_hash(ids.astype(object))
+        h = stable_hash(t[id_col])  # zero-copy off the Arrow buffers
         shift = np.uint64(64 - int(np.log2(num_ranges)))
         rng = (h >> shift).astype(np.int64)
         return t.append_column("_okey", pa.array(h, pa.uint64())), rng

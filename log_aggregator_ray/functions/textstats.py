@@ -84,8 +84,7 @@ def add_split_column_fast(batch: pa.Table, id_col: str = "doc_id",
     (md5) remains as the SQL-oracle-reproducible alias."""
     from ..stages.route import stable_hash
 
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    h = stable_hash(ids.astype(object))
+    h = stable_hash(batch[id_col])  # zero-copy off the Arrow buffers
     split = np.where((h % np.uint64(10_000)) <
                      np.uint64(int(train_frac * 10_000)), "train", "val")
     return batch.append_column(out, pa.array(split, pa.string()))

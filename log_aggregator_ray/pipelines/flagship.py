@@ -207,7 +207,7 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
 
             # slice on the UPPER hash bits (lower bits chose the bucket) so
             # every sink lands wholly in one slice
-            h = stable_hash(t["sink"].to_pandas().to_numpy())
+            h = stable_hash(t["sink"])
             nsub = max(2, -(-t.num_rows // SPLIT_TARGET))
             sub = ((h >> np.uint64(32)) % np.uint64(nsub)).astype(np.int32)
             order = np.argsort(sub, kind="stable")

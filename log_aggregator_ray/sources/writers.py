@@ -71,11 +71,16 @@ def write_bucketed_parquet(ds, out_dir: str, key_col: str,
     bytes per bucket regardless of where a crash landed."""
     import pyarrow.parquet as pq
 
+    from ..stages.route import HASH_KERNEL
+
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     # resuming with a different partitioning would mis-skip buckets —
-    # refuse (the flagship's init_run contract, state/manifest.py)
+    # refuse (the flagship's init_run contract, state/manifest.py).  The
+    # hash kernel is part of the partitioning identity: committed buckets
+    # from a different kernel hold different key sets under the same name.
     meta_path = os.path.join(_manifest_dir(out_dir), "meta.json")
-    meta = {"key_col": key_col, "num_buckets": int(num_buckets)}
+    meta = {"key_col": key_col, "num_buckets": int(num_buckets),
+            "hash_kernel": HASH_KERNEL}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             prev = json.load(fh)
@@ -103,8 +108,7 @@ def write_bucketed_parquet(ds, out_dir: str, key_col: str,
     skip = np.array(sorted(done), dtype=np.int64) if done else None
 
     def bucketize(t: pa.Table) -> pa.Table:
-        vals = t[key_col].to_pandas().to_numpy()
-        b = (stable_hash(vals.astype(object)) % num_buckets).astype(np.int64)
+        b = (stable_hash(t[key_col]) % num_buckets).astype(np.int64)
         if skip is not None:
             keep = ~np.isin(b, skip)
             t = t.filter(pa.array(keep))

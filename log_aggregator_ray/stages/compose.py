@@ -105,9 +105,7 @@ def flagship_stages(num_buckets: int = 64) -> list[Stage]:
         sink = sink_expr(t)
         if not isinstance(sink, (pa.Array, pa.ChunkedArray)):
             sink = pa.array(sink)
-        bucket = (
-            stable_hash(np.asarray(sink.to_pandas())) % num_buckets
-        ).astype(np.int32)
+        bucket = (stable_hash(sink) % num_buckets).astype(np.int32)
         return t.append_column("sink", sink).append_column(
             "bucket", pa.array(bucket, pa.int32())
         )

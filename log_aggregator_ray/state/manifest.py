@@ -133,6 +133,8 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
     ``hot_hashes`` is the CURRENT hot-sink detection — stored on fresh or
     invalidated runs; resumed/merged runs return the stored set instead
     (pseudo-bucket identity must not shift under committed output)."""
+    from ..stages.route import HASH_KERNEL
+
     path = os.path.join(_manifest_dir(out_dir), RUN_FILE)
     parts = scan_parts(input_path)
     gen = parts_gen(parts)
@@ -145,6 +147,20 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
                 f"resume with num_buckets={num_buckets} but run was started "
                 f"with {prev['num_buckets']} — bucket identity would change"
             )
+        if prev.get("hash_kernel") != HASH_KERNEL:
+            # bucket layout is a function of the hash kernel: committed
+            # partitions from a different kernel (polars upgrade, or a
+            # pre-kernel-swap manifest) would be mis-skipped — full restart,
+            # and the stored hot hashes are stale too (recompute = hot_now)
+            _purge_outputs(out_dir)
+            atomic_write_json(
+                path, {"num_buckets": num_buckets, "input_path": input_path,
+                       "parts": parts, "gen": gen,
+                       "hash_kernel": HASH_KERNEL,
+                       "hot_hashes": [str(h) for h in hot_now]},
+            )
+            return RunPlan(gen=gen, parts=parts, reuse_buckets=True,
+                           hot_hashes=hot_now)
         prev_parts: dict = prev.get("parts", {})
         prev_hot = [int(h) for h in prev.get("hot_hashes", [])]
         if prev.get("gen") == gen:
@@ -168,6 +184,7 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
         atomic_write_json(
             path, {"num_buckets": num_buckets, "input_path": input_path,
                    "parts": parts, "gen": gen,
+                   "hash_kernel": HASH_KERNEL,
                    "hot_hashes": [str(h) for h in hot_now]},
         )
         return RunPlan(gen=gen, parts=parts, reuse_buckets=True,
@@ -175,6 +192,7 @@ def init_run(out_dir: str, num_buckets: int, input_path: str,
     atomic_write_json(
         path, {"num_buckets": num_buckets, "input_path": input_path,
                "parts": parts, "gen": gen,
+               "hash_kernel": HASH_KERNEL,
                "hot_hashes": [str(h) for h in hot_now]},
     )
     return RunPlan(gen=gen, parts=parts, reuse_buckets=True,

@@ -101,6 +101,29 @@ def test_incremental_reads_only_new_parts(tmp_path):
     assert plan.read_path == [os.path.join(d, "part-001.parquet")]
 
 
+def test_changed_hash_kernel_purges_and_reruns(tmp_path):
+    """A resume whose manifests were committed under a DIFFERENT hash
+    kernel (polars upgrade / kernel swap) must invalidate everything and
+    rerun from scratch — not mis-skip buckets whose key sets differ."""
+    import json
+
+    d, early, late, _ = _split_corpus(tmp_path)
+    pq.write_table(late, os.path.join(d, "part-001.parquet"))
+    out = str(tmp_path / "out")
+    r1 = flagship.run_flagship(d, out, num_buckets=8)
+    rows = {k: _df(out, k) for k in ("routed", "quarantine", "docs")}
+
+    run_path = os.path.join(out, "_manifests", "run.json")
+    run = json.load(open(run_path))
+    run["hash_kernel"] = "legacy-pandas-siphash"
+    json.dump(run, open(run_path, "w"))
+
+    r2 = flagship.run_flagship(d, out, num_buckets=8)
+    assert r2["buckets_this_run"] > 0  # full rerun, not a zero-work resume
+    for k, before in rows.items():
+        pd.testing.assert_frame_equal(_df(out, k), before)
+
+
 def test_changed_part_purges_stale_outputs(tmp_path):
     """A REMOVED (or modified) part invalidates everything: buckets whose
     rows came only from it must not survive as stale output files."""

@@ -93,6 +93,24 @@ def test_resume_rejects_changed_partitioning(table, tmp_path):
                                        num_buckets=16)
 
 
+def test_resume_rejects_changed_hash_kernel(table, tmp_path):
+    """Bucket layout is a function of the hash kernel: a resume under a
+    different kernel (polars upgrade / kernel swap) must refuse rather
+    than mis-skip committed buckets that hold different key sets."""
+    import json
+
+    out = str(tmp_path / "out")
+    writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
+                                   num_buckets=8)
+    meta_path = os.path.join(out, "_manifests", "meta.json")
+    meta = json.load(open(meta_path))
+    meta["hash_kernel"] = "legacy-pandas-siphash"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="changed partitioning"):
+        writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
+                                       num_buckets=8)
+
+
 def test_fresh_write_cleans_stale_buckets(table, tmp_path):
     """resume=False into a dirty out_dir must not leave stale bucket files
     or manifests behind (ADVICE r3): rewriting 16 buckets over a previous
