@@ -384,6 +384,15 @@ def exact_dedup_by_hash(ds, col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+def _block_rows(p) -> int:
+    """Row count of a materialized block of EITHER type.  Ray synthesizes
+    a pipeline's empty sort partitions in the batch_format of the nearest
+    upstream map (an empty pandas DataFrame after a pandas-format stage),
+    and such blocks ride through later Arrow stages untouched — so any
+    to_arrow_refs consumer must tolerate a stray empty pandas block."""
+    return p.num_rows if isinstance(p, pa.Table) else len(p)
+
+
 def _shingle_set(text: str, k: int) -> set:
     if len(text) < k:
         return {text}
@@ -504,7 +513,7 @@ def _corpus_shingle_sets(docs_ds, needed_ids: np.ndarray, k: int,
         docs_ds.map_batches(hash_block, batch_format="pyarrow",
                             zero_copy_batch=True).to_arrow_refs()
     )
-    parts = [p for p in parts if p.num_rows]
+    parts = [p for p in parts if _block_rows(p)]
     if not parts:  # zero candidate pairs → empty index
         return (np.empty(0, np.int64), np.zeros(1, np.int64),
                 np.empty(0, np.uint64))
@@ -650,7 +659,7 @@ def _neardup_verify_broadcast(docs_ds, pairs_ds, k: int, threshold: float,
     # already-bounded candidate set — ≤ 2×broadcast_max_pairs values)
     id_parts = [p for p in ray.get(
         pairs_ds.select_columns(["id_a", "id_b"]).to_arrow_refs())
-        if p.num_rows]
+        if _block_rows(p)]
     needed = np.unique(np.concatenate([
         np.concatenate([p["id_a"].to_numpy(zero_copy_only=False)
                         for p in id_parts]),

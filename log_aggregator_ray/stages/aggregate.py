@@ -202,18 +202,25 @@ def bucketed_first_by(ds, key, order: list[str], num_buckets: int = 64,
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order).drop_duplicates(key, keep="first")
 
-    def part(df: pd.DataFrame) -> pa.Table:
-        out = pick(df)
+    # Arrow at every STAGE BOUNDARY (pandas only inside the fn, for the
+    # sort+drop_duplicates kernel): with a pandas batch_format, Ray
+    # synthesizes the sort's empty partitions as empty PANDAS blocks,
+    # which then ride through downstream Arrow stages untouched and break
+    # any to_arrow_refs consumer (hit by curated_corpus at 32 CPUs, where
+    # sort partitions outnumber distinct buckets)
+    def part(t: pa.Table) -> pa.Table:
+        out = pick(t.to_pandas())
         out = out.assign(__bucket=_key_bucket(out, [key], num_buckets))
         return _arrow_clean(out)
 
-    partial = ds.map_batches(part, batch_format="pandas")
+    partial = ds.map_batches(part, batch_format="pyarrow")
 
-    def final(df: pd.DataFrame) -> pa.Table:
-        out = pick(df.drop(columns="__bucket"))
+    def final(t: pa.Table) -> pa.Table:
+        out = pick(t.drop_columns(["__bucket"]).to_pandas())
         return _arrow_clean(out[columns] if columns else out)
 
-    return partial.groupby("__bucket").map_groups(final, batch_format="pandas")
+    return partial.groupby("__bucket").map_groups(final,
+                                                  batch_format="pyarrow")
 
 
 def routed_only(ds):

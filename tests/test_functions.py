@@ -650,3 +650,37 @@ def test_featurizer_uses_real_decode():
     fb = np.asarray(out.loc["b", "features"])
     assert fa[0] == 0.0 and abs(fb[0] - 200 / 255) < 1e-9
     assert not np.allclose(fa, fb)
+
+
+def test_bucketed_stage_blocks_stay_arrow_with_empty_partitions():
+    """Empty sort partitions must materialize as ARROW blocks: Ray
+    synthesizes them in the batch_format of the map stage, and an empty
+    pandas block rides through later Arrow stages untouched, breaking any
+    to_arrow_refs consumer (hit by curated_corpus at 32 CPUs, where sort
+    partitions outnumber distinct buckets)."""
+    import ray
+
+    from log_aggregator_ray.stages.aggregate import (bucketed_first_by,
+                                                     bucketed_groupby)
+
+    t = pa.table({
+        "k": pa.array([f"k{i % 3}" for i in range(24)]),
+        "v": pa.array(np.arange(24, dtype=np.int64)),
+    })
+    # many more blocks than distinct bucket keys → empty sort partitions
+    ds = rd.from_arrow(t).repartition(16)
+    first = bucketed_first_by(ds, "k", ["v"], num_buckets=4).materialize()
+    blocks = ray.get(first.to_arrow_refs())
+    assert all(isinstance(b, pa.Table) for b in blocks), [type(b) for b in blocks]
+    assert sum(b.num_rows for b in blocks) == 3
+
+    grouped = bucketed_groupby(
+        rd.from_arrow(t).repartition(16), ["k"],
+        {"n": (None, "count"), "s": ("v", "sum")}, num_buckets=4,
+    ).materialize()
+    blocks = ray.get(grouped.to_arrow_refs())
+    assert all(isinstance(b, pa.Table) for b in blocks), [type(b) for b in blocks]
+    got = grouped.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (t.to_pandas().groupby("k").agg(n=("v", "size"), s=("v", "sum"))
+           .reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
