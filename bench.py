@@ -154,6 +154,10 @@ def run_benchmarks() -> dict:
     out_dir = os.path.join(out_root, "graft_bench_out")
     headline = float("inf")
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    # GRAFT_DOC_CHUNK_ROWS=N opts the headline into the chunked-doc
+    # contract (docs gain doc_part; hot-sink doc parts written
+    # block-parallel — breaks the serial giant-cell finalize floor)
+    doc_chunk_rows = int(os.environ.get("GRAFT_DOC_CHUNK_ROWS", "0")) or None
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         subprocess.run(["sync"], check=False)
@@ -162,6 +166,7 @@ def run_benchmarks() -> dict:
         run_flagship(
             corpus, out_dir, num_buckets=64,
             enrich_concurrency=max(2, NUM_CPUS // 4), write_docs=True,
+            doc_chunk_rows=doc_chunk_rows,
         )
         headline = min(headline, time.perf_counter() - t0)
     timings["flagship"] = round(headline, 3)

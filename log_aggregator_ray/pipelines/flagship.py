@@ -85,6 +85,12 @@ def make_skip_committed(committed: set[int]):
 # Key columns (sink, turn_idx, ts, …) keep stats for row-group pruning.
 _NO_STATS_COLS = ("text", "tool", "assembled_text", "tool_cmd")
 
+# one-row-per-sink doc contract ceiling: Arrow `string` cells cap at 2 GiB
+# (int32 offsets), and a single giant cell serializes its whole write —
+# the default doc path REFUSES past this instead of failing deep inside
+# parquet (opt into doc_chunk_rows for bigger conversations)
+DOC_CELL_LIMIT = (1 << 31) - (1 << 20)
+
 
 def _write_part(table: pa.Table, out_dir: str, kind: str, name: str,
                 columns: list[str] | None = None) -> str:
@@ -131,6 +137,7 @@ def _unship(buf) -> pa.Table:
 
 
 def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
+                       doc_chunk_rows: int | None = None,
                        gen: str | None = None):
     """Build the per-bucket processing fn: RAW rows in (exchange output),
     sink derivation + reassembly + parse + enrich + all sink writes inside
@@ -169,7 +176,8 @@ def make_bucket_writer(out_dir: str, write_docs: bool = True, router=sink_expr,
 
         if write_docs:
             paths.append(
-                _write_part(assemble_docs_table(routed), out_dir, "docs", name)
+                _write_part(assemble_docs_table(routed, doc_chunk_rows),
+                            out_dir, "docs", name)
             )
 
         return {
@@ -316,12 +324,34 @@ def _read_spill_file(path: str, columns: list[str] | None = None) -> pa.Table:
 
 
 def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
-                       gen: str | None = None):
+                       gen: str | None = None,
+                       doc_chunk_rows: int | None = None,
+                       max_doc_bytes: int | None = None,
+                       turn_block: int | None = None):
     """Phase-2 pipeline for a hot-sink pseudo-bucket: block-parallel
     reassembly of ONE giant key (see the hot-sink header note).  Every
     block task reads only its own turn-range files; the parent combines
-    tiny per-block summaries — no task ever holds the whole sink."""
+    tiny per-block summaries — no task ever holds the whole sink.
+
+    Doc contract (VERDICT r3 #2): by default the sink's doc is ONE row —
+    finalize joins the per-block fragments into a single cell, which is
+    serial and linear in the hot conversation; it REFUSES (clear error)
+    past ``max_doc_bytes`` (default just under Arrow's 2 GiB string-cell
+    limit).  ``doc_chunk_rows=N`` opts into the chunked contract: each
+    emit writes its own ``(sink, conv_id, doc_part, assembled_text)``
+    rows of ≤ N source rows in block-parallel — finalize does no doc
+    work, nothing ever holds the whole doc, and the full doc is
+    ``"\\n".join(parts ordered by doc_part)`` (doc_part values are
+    ordered but not contiguous: ``block × parts_per_block + i``)."""
     import pyarrow.compute as pc
+
+    max_doc_bytes = DOC_CELL_LIMIT if max_doc_bytes is None else max_doc_bytes
+    # global doc_part stride: emits don't see each other, so a block's
+    # parts are numbered inside its own stride (turn order ⇒ part order)
+    parts_per_block = (
+        max(1, -(-(turn_block or TURN_BLOCK) // doc_chunk_rows))
+        if doc_chunk_rows else 1
+    )
 
     def scan_file(f: str) -> np.ndarray:
         """Pass A fallback: the sorted unique turn_idx values of ONE file.
@@ -384,15 +414,43 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
         _write_part(routed, out_dir, "routed", name, ROUTED_COLS)
         _write_part(quarantined, out_dir, "quarantine", name,
                     ROUTED_COLS + ["first_missing_turn"])
-        frag = None
+        frag, frag_bytes = None, 0
         if write_docs and routed.num_rows:
-            la = pa.ListArray.from_arrays(
-                pa.array([0, routed.num_rows], pa.int64()),
-                routed["text"].combine_chunks(),
-            )
-            frag = pc.binary_join(la, "\n")[0].as_py()
+            text = routed["text"].combine_chunks()
+            if doc_chunk_rows:
+                # chunked contract: THIS emit writes its own doc parts in
+                # block-parallel; nothing ever holds the whole doc
+                nr = routed.num_rows
+                bounds = np.arange(0, nr + doc_chunk_rows, doc_chunk_rows)
+                bounds[-1] = nr
+                bounds = np.unique(bounds)
+                la = pa.ListArray.from_arrays(
+                    pa.array(bounds, pa.int64()), text)
+                parts_txt = pc.binary_join(la, "\n")
+                k = len(bounds) - 1
+                blk_idx = int(name.split(".")[1])
+                sink_v = t["sink"][0].as_py()
+                conv_v = t["conv_id"][0].as_py()
+                docs = pa.table({
+                    "sink": pa.array([sink_v] * k, pa.string()),
+                    "conv_id": pa.array([conv_v] * k, pa.string()),
+                    "doc_part": pa.array(
+                        blk_idx * parts_per_block + np.arange(k, dtype=np.int64)
+                    ),
+                    "assembled_text": parts_txt,
+                })
+                _write_part(docs, out_dir, "docs", name)
+                frag_bytes = int(pc.sum(pc.binary_length(parts_txt)).as_py()
+                                 or 0)
+            else:
+                la = pa.ListArray.from_arrays(
+                    pa.array([0, routed.num_rows], pa.int64()), text)
+                joined = pc.binary_join(la, "\n")
+                frag = joined[0].as_py()
+                frag_bytes = int(pc.binary_length(joined)[0].as_py())
         return {
             "rows_in": rows_in,
+            "frag_bytes": frag_bytes,
             "routed": int(routed.num_rows),
             "quarantined": int(quarantined.num_rows),
             "dup_dropped": int(pc.sum(out["dup_dropped"]).as_py() or 0),
@@ -417,7 +475,12 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
         import glob as globmod
 
         live = {f"bucket={bucket:05d}.{b:04d}.parquet" for b in blocks}
-        for kind in ("routed", "quarantine"):
+        # chunked docs are emit-written per block (same names as routed
+        # parts) — clean THEIR stale files too; the default one-row doc is
+        # finalize-written under bucket=NNNNN.parquet and overwritten below
+        kinds = (("routed", "quarantine", "docs") if doc_chunk_rows
+                 else ("routed", "quarantine"))
+        for kind in kinds:
             for p in globmod.glob(
                 os.path.join(out_dir, kind, f"bucket={bucket:05d}*.parquet")
             ):
@@ -439,8 +502,20 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             ),
         })
         _write_part(counts, out_dir, "sink_counts", f"{bucket:05d}")
-        if write_docs:
+        if write_docs and not doc_chunk_rows:
             frags = [p["frag"] for p in parts if p["frag"] is not None]
+            total_bytes = (sum(p["frag_bytes"] for p in parts)
+                           + max(0, len(frags) - 1))
+            if total_bytes > max_doc_bytes:
+                raise ValueError(
+                    f"hot sink '{sink}' assembled doc is {total_bytes} "
+                    f"bytes, over the one-row-per-sink contract's "
+                    f"max_doc_bytes={max_doc_bytes} (Arrow string cells "
+                    f"cap at 2 GiB and a single giant cell serializes the "
+                    f"write) — rerun with doc_chunk_rows=N for the "
+                    f"chunked (sink, conv_id, doc_part, assembled_text) "
+                    f"contract"
+                )
             docs = pa.table({
                 "sink": pa.array([sink] if frags else [], pa.string()),
                 "conv_id": pa.array([conv] if frags else [], pa.string()),
@@ -891,7 +966,9 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
                  resume: bool = True, write_docs: bool = True,
                  exchange: str = "objstore", incremental: bool = True,
                  hot_sink_rows: int = HOT_SINK_ROWS,
-                 turn_block: int = TURN_BLOCK) -> dict:
+                 turn_block: int = TURN_BLOCK,
+                 doc_chunk_rows: int | None = None,
+                 max_doc_bytes: int | None = None) -> dict:
     """Execute the full pipeline with partitioned sinks + manifests.
 
     ``exchange="objstore"`` (default) is a two-phase exchange through the
@@ -908,7 +985,12 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
     ``num_buckets=None`` sizes buckets from the input (auto_buckets).
     ``incremental=True`` (with resume) processes ONLY parquet parts added
     since the last committed run, merging new rows into the affected
-    buckets' prior outputs (see state.manifest).  Returns the run report:
+    buckets' prior outputs (see state.manifest).
+    ``doc_chunk_rows=N`` opts into the chunked doc contract (docs gain a
+    ``doc_part`` column; parts of ≤ N rows, written block-parallel for
+    hot sinks — see make_hot_processor); the default one-row-per-sink
+    contract refuses docs over ``max_doc_bytes`` (≈2 GiB Arrow cell cap).
+    Returns the run report:
     totals over ALL committed buckets (including ones committed by earlier
     runs when resuming).
     """
@@ -952,8 +1034,13 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             )
         return ds
 
-    writer = make_bucket_writer(out_dir, write_docs=write_docs, gen=plan.gen)
-    hot_writer = make_hot_processor(out_dir, write_docs=write_docs, gen=plan.gen)
+    writer = make_bucket_writer(out_dir, write_docs=write_docs, gen=plan.gen,
+                                doc_chunk_rows=doc_chunk_rows)
+    hot_writer = make_hot_processor(out_dir, write_docs=write_docs,
+                                    gen=plan.gen,
+                                    doc_chunk_rows=doc_chunk_rows,
+                                    max_doc_bytes=max_doc_bytes,
+                                    turn_block=turn_block)
     prior = {m["bucket"]: m for m in mf.load_manifests(out_dir)} if plan.merge else {}
 
     def bucket_table(

@@ -247,23 +247,52 @@ def sink_counts(ds):
     )
 
 
-def assemble_docs_table(routed: pa.Table) -> pa.Table:
+def assemble_docs_table(routed: pa.Table,
+                        chunk_rows: int | None = None) -> pa.Table:
     """Per-sink ordered doc assembly over rows ALREADY sorted by
     (sink, turn_idx), Arrow-native: sinks are contiguous runs, so build a
     ListArray from the run offsets and ``binary_join`` — no Python string
-    objects ever (the hot-path rule: big string columns stay in Arrow)."""
+    objects ever (the hot-path rule: big string columns stay in Arrow).
+
+    ``chunk_rows`` (the opt-in chunked-doc contract, VERDICT r3 #2): split
+    every sink's doc into parts of ≤ ``chunk_rows`` rows and add a
+    ``doc_part`` column; the full doc is ``"\\n".join(parts ordered by
+    doc_part)``.  Parts bound the single-cell size — a giant conversation
+    otherwise hits Arrow's 2 GiB string-cell limit and serializes its
+    whole doc through one writer."""
     n = routed.num_rows
     if n == 0:
-        return pa.table(
-            {"sink": pa.array([], pa.string()), "conv_id": pa.array([], pa.string()),
-             "assembled_text": pa.array([], pa.string())}
-        )
+        cols = {"sink": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string())}
+        if chunk_rows:
+            cols["doc_part"] = pa.array([], pa.int64())
+        cols["assembled_text"] = pa.array([], pa.string())
+        return pa.table(cols)
     codes = pc.dictionary_encode(routed["sink"].combine_chunks()).indices.to_numpy(
         zero_copy_only=False
     )
     starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-    offsets = np.append(starts, n).astype(np.int64)
+    ends = np.append(starts[1:], n).astype(np.int64)
     text = routed["text"].combine_chunks()
+    if chunk_rows:
+        # tile each sink run with ≤chunk_rows pieces (vectorized: pieces
+        # stay contiguous, so one offsets array drives one binary_join)
+        lens = ends - starts
+        pieces = -(-lens // chunk_rows)
+        run_of_piece = np.repeat(np.arange(len(starts)), pieces)
+        first_piece = np.r_[0, np.cumsum(pieces)[:-1]]
+        j = np.arange(len(run_of_piece)) - first_piece[run_of_piece]
+        p_starts = starts[run_of_piece] + j * chunk_rows
+        offsets = np.append(p_starts, n).astype(np.int64)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()), text)
+        heads = pa.array(p_starts)
+        return pa.table({
+            "sink": routed["sink"].take(heads),
+            "conv_id": routed["conv_id"].take(heads),
+            "doc_part": pa.array(j, pa.int64()),
+            "assembled_text": pc.binary_join(la, "\n"),
+        })
+    offsets = np.append(starts, n).astype(np.int64)
     la = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()), text)
     assembled = pc.binary_join(la, "\n")
     starts_arr = pa.array(starts)

@@ -230,3 +230,50 @@ def test_raydata_exchange_hot_path_matches(hot_corpus, tmp_path):
         if f.startswith("bucket=00008.")
     ]
     assert len(slices) > 3  # block-parallel output in raydata mode too
+
+
+def test_default_doc_contract_refuses_giant_cell(hot_corpus, tmp_path):
+    """The one-row-per-sink doc contract is linear in the hot conversation
+    (a 10× hot sink approaches Arrow's 2 GiB cell cap): past max_doc_bytes
+    the default path must refuse with a clear error naming the opt-in,
+    not fail deep inside parquet.  Simulated by lowering the ceiling."""
+    corpus, _ = hot_corpus
+    with pytest.raises(Exception, match="doc_chunk_rows"):
+        _run(corpus, str(tmp_path / "refuse"), max_doc_bytes=10_000)
+
+
+def test_chunked_doc_contract_matches_default(hot_corpus, tmp_path):
+    """doc_chunk_rows=N: docs gain a doc_part column, the hot sink's parts
+    are written block-parallel by the emits (finalize does no doc work),
+    and joining each sink's parts in doc_part order reproduces the default
+    contract's assembled_text byte-for-byte — for the giant sink AND every
+    normal sink."""
+    corpus, _ = hot_corpus
+    ref_out = str(tmp_path / "ref")
+    chk_out = str(tmp_path / "chunked")
+    _run(corpus, ref_out)
+    # same low ceiling that made the default path refuse: chunking lifts it
+    _run(corpus, chk_out, doc_chunk_rows=256, max_doc_bytes=10_000)
+
+    ref = _df(ref_out, "docs").set_index("sink")["assembled_text"]
+    chk = _df(chk_out, "docs")
+    assert "doc_part" in chk.columns
+    joined = (
+        chk.sort_values(["sink", "doc_part"])
+        .groupby("sink")["assembled_text"]
+        .apply("\n".join)
+    )
+    assert set(joined.index) == set(ref.index)
+    for sink in ref.index:
+        assert joined[sink] == ref[sink], sink
+    # the giant sink's parts came from MULTIPLE block-parallel emit files
+    # (only turn blocks BELOW the gap at 700 are routed → 2 emit files of
+    # the 512-turn blocks; the quarantined blocks carry no doc text, same
+    # as the default contract)
+    doc_files = [f for f in os.listdir(os.path.join(chk_out, "docs"))
+                 if f.startswith("bucket=00008.")]
+    assert len(doc_files) == 2
+    # parts bound the cell size: every chunk covers <= doc_chunk_rows rows
+    hot_parts = chk[chk["conv_id"] == "conv-hot"]
+    assert len(hot_parts) >= GAP_AT // 256
+    assert (hot_parts["assembled_text"].str.count("\n") < 256).all()
