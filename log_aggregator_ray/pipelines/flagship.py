@@ -537,6 +537,8 @@ def make_hot_processor(out_dir: str, write_docs: bool = True, router=sink_expr,
             "last_emit_end": max((p.get("t_end", 0.0) for p in parts),
                                  default=0.0),
             "finalize_sec": round(time.perf_counter() - _fin0, 4),
+            "exchange_rebuilds": int(sum(p.get("rebuilds", 0)
+                                         for p in parts)),
         }
         mf.commit_bucket(out_dir, bucket, payload, gen=gen)
         return pd.DataFrame([{"bucket": bucket, **payload}])
@@ -859,70 +861,115 @@ def make_exchange_map(num_buckets: int, hot_hashes, committed: set[int],
     only to the tasks that consume them.
 
     Lifetime note: ``ray.put`` objects are owned by the map worker that
-    created them; every ref is consumed by phase 2 of the SAME run (the
-    window is seconds and workers holding owned objects are not reaped),
-    and a lost object fails the consuming task, whose rerun falls back to
-    the manifest-resume path — never silent data loss."""
-    import pyarrow.parquet as pq
-
-    import ray
-
-    from ..stages.route import add_bucket_column
-
+    created them; on a preemptible cluster that worker can die before
+    phase 2 consumes its refs.  Recovery is PER MAP (VERDICT r3 #3): the
+    driver records which chunk produced each ref, and a phase-2 task
+    whose ``ray.get`` hits a lost object re-executes just that chunk's
+    deterministic map inline (``make_bucket_rebuilder``) and extracts its
+    own slice — never a run-level rerun, never silent data loss."""
     hot = np.sort(np.asarray(hot_hashes, dtype=np.uint64)) if (
         hot_hashes is not None and len(hot_hashes)
     ) else None
     skip = np.array(sorted(committed), dtype=np.int64) if committed else None
 
     def exchange_parts(paths: list[str]):
-        tabs = []
-        for p in paths:
-            sch = pq.read_schema(p)
-            cols = [c for c in EXCHANGE_COLS if c in sch.names]
-            tabs.append(
-                pq.read_table(p, columns=cols).replace_schema_metadata(None)
-            )
-        t = pa.concat_tables(tabs, promote_options="default")
-        t = add_bucket_column(t, num_buckets, router, hot)
-        b = t["bucket"].to_numpy()
-        if skip is not None:
-            keep_mask = ~np.isin(b, skip)
-            t = t.filter(pa.array(keep_mask))
-            b = b[keep_mask]
-        t = t.drop_columns(["bucket"])
-        if len(b) == 0:  # every row belonged to a committed bucket
-            return {}, {}, [], {}
-        order = np.argsort(b, kind="stable")
-        ts = t.take(pa.array(order))
-        bs = b[order]
-        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-        ends = np.append(starts[1:], len(bs))
+        import ray
+
         norm_refs: dict[int, object] = {}
         hot_refs: dict[tuple[int, int], object] = {}
         summaries: list[tuple[int, int, np.ndarray]] = []
         sizes: dict[int, int] = {}
-        for s, e in zip(starts, ends):
-            part = ts.slice(s, e - s)
-            bk = int(bs[s])
-            if bk < num_buckets:
+        for bk, blk, part, uniq in _iter_bucket_slices(
+            paths, num_buckets, hot, skip, turn_block, router
+        ):
+            if blk is None:
                 buf = _ship(part)
                 sizes[bk] = buf.size
                 norm_refs[bk] = ray.put(buf)
-                continue
-            turns = part["turn_idx"].to_numpy(zero_copy_only=False)
-            tb = (turns // turn_block).astype(np.int64)
-            o2 = np.argsort(tb, kind="stable")
-            p2 = part.take(pa.array(o2))
-            t2 = tb[o2]
-            s2 = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
-            e2 = np.append(s2[1:], len(t2))
-            for ss, ee in zip(s2, e2):
-                blk = int(t2[ss])
-                hot_refs[(bk, blk)] = ray.put(_ship(p2.slice(ss, ee - ss)))
-                summaries.append((bk, blk, np.unique(turns[o2[ss:ee]])))
+            else:
+                hot_refs[(bk, blk)] = ray.put(_ship(part))
+                summaries.append((bk, blk, uniq))
         return norm_refs, hot_refs, summaries, sizes
 
     return exchange_parts
+
+
+def _iter_bucket_slices(paths, num_buckets, hot, skip, turn_block, router):
+    """Deterministic kernel shared by the phase-1 exchange map and the
+    per-map rebuilder: read a chunk's parts (EXCHANGE_COLS pruned at the
+    parquet read), bucket, and yield ``(bucket, None, table, None)`` per
+    normal bucket / ``(bucket, block, table, uniq_turns)`` per hot
+    (bucket, turn-block) slice — byte-stable for a fixed input, which is
+    what makes a lost exchange object rebuildable without coordination."""
+    import pyarrow.parquet as pq
+
+    from ..stages.route import add_bucket_column
+
+    tabs = []
+    for p in paths:
+        sch = pq.read_schema(p)
+        cols = [c for c in EXCHANGE_COLS if c in sch.names]
+        tabs.append(
+            pq.read_table(p, columns=cols).replace_schema_metadata(None)
+        )
+    t = pa.concat_tables(tabs, promote_options="default")
+    t = add_bucket_column(t, num_buckets, router, hot)
+    b = t["bucket"].to_numpy()
+    if skip is not None:
+        keep_mask = ~np.isin(b, skip)
+        t = t.filter(pa.array(keep_mask))
+        b = b[keep_mask]
+    t = t.drop_columns(["bucket"])
+    if len(b) == 0:  # every row belonged to a committed bucket
+        return
+    order = np.argsort(b, kind="stable")
+    ts = t.take(pa.array(order))
+    bs = b[order]
+    starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    ends = np.append(starts[1:], len(bs))
+    for s, e in zip(starts, ends):
+        part = ts.slice(s, e - s)
+        bk = int(bs[s])
+        if bk < num_buckets:
+            yield bk, None, part, None
+            continue
+        turns = part["turn_idx"].to_numpy(zero_copy_only=False)
+        tb = (turns // turn_block).astype(np.int64)
+        o2 = np.argsort(tb, kind="stable")
+        p2 = part.take(pa.array(o2))
+        t2 = tb[o2]
+        s2 = np.flatnonzero(np.r_[True, t2[1:] != t2[:-1]])
+        e2 = np.append(s2[1:], len(t2))
+        for ss, ee in zip(s2, e2):
+            yield (bk, int(t2[ss]), p2.slice(ss, ee - ss),
+                   np.unique(turns[o2[ss:ee]]))
+
+
+def make_bucket_rebuilder(num_buckets: int, hot_hashes, committed: set[int],
+                          turn_block: int = TURN_BLOCK, router=sink_expr):
+    """Per-map recovery for the objstore exchange: deterministically
+    re-derive ONE bucket's (or hot (bucket, block)'s) shipped slice from
+    the chunk files that produced the lost ref.  Reference analog: the
+    pump's delete-on-200 at-least-once retry (datapump/.../
+    AsyncPusher.java:127-144) — re-send exactly the lost unit."""
+    hot = np.sort(np.asarray(hot_hashes, dtype=np.uint64)) if (
+        hot_hashes is not None and len(hot_hashes)
+    ) else None
+    skip = np.array(sorted(committed), dtype=np.int64) if committed else None
+
+    def rebuild(paths: list[str], bucket: int, block: int | None = None):
+        for bk, blk, part, _u in _iter_bucket_slices(
+            paths, num_buckets, hot, skip, turn_block, router
+        ):
+            if bk == bucket and blk == block:
+                return _ship(part)
+        raise RuntimeError(
+            f"rebuild of bucket={bucket} block={block} found no rows in its "
+            f"chunk — exchange map and rebuilder diverged (same code path, "
+            f"so the input files must have changed mid-run)"
+        )
+
+    return rebuild
 
 
 def auto_buckets(input_path: str, target_bytes: int = 256 << 20,
@@ -1140,6 +1187,7 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         hot_blocks: dict[int, dict[int, list]] = {}
         turns_by_block: dict[tuple[int, int], list[np.ndarray]] = {}
         sizes: dict[int, int] = {}
+        chunks: list[list[str]] = []
         if parts_in:
             n_cpus = tuning.available_cpus()
             # Task count: ~128 MB of input per map task, floored at one
@@ -1160,13 +1208,19 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             ex = ray.remote(make_exchange_map(
                 num_buckets, hot_hashes, committed, turn_block=turn_block
             ))
-            for nr, hr, sums, sz in ray.get([ex.remote(c) for c in chunks]):
+            # every ref is recorded WITH the chunk that produced it: the
+            # per-map recovery unit (VERDICT r3 #3) — a phase-2 task whose
+            # get hits a lost/freed object re-runs just that chunk's
+            # deterministic map inline and extracts its own slice
+            for ci, (nr, hr, sums, sz) in enumerate(
+                ray.get([ex.remote(c) for c in chunks])
+            ):
                 for bk, ref in nr.items():
-                    norm_refs.setdefault(bk, []).append(ref)
+                    norm_refs.setdefault(bk, []).append((ref, ci))
                 for (bk, blk), ref in hr.items():
                     hot_blocks.setdefault(bk, {}).setdefault(
                         blk, []
-                    ).append(ref)
+                    ).append((ref, ci))
                 for bk, blk, u in sums:
                     turns_by_block.setdefault((bk, blk), []).append(
                         np.asarray(u, dtype=np.int64)
@@ -1177,7 +1231,43 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         t0 = time.perf_counter()
         phase_times["p2_t0_abs"] = round(time.time(), 2)
 
+        # chunk file lists ride the object store (driver-owned — the
+        # driver outlives phase 2) and are fetched ONLY on a recovery
+        chunks_ref = ray.put(chunks)
+        rebuilder = make_bucket_rebuilder(
+            num_buckets, hot_hashes, committed, turn_block=turn_block
+        )
+
+        if os.environ.get("GRAFT_TEST_FREE_EXCHANGE"):
+            # test hook: drop half the exchange objects from plasma to
+            # simulate phase-1 worker loss mid-run (the refs are GENUINELY
+            # gone; phase 2 must recover via the per-map rebuild path)
+            from ray._private.internal_api import free as _free
+
+            drop = []
+            for bk in sorted(norm_refs)[::2]:
+                drop += [r for r, _ in norm_refs[bk]]
+            for bk in sorted(hot_blocks):
+                for blk in sorted(hot_blocks[bk])[::2]:
+                    drop += [r for r, _ in hot_blocks[bk][blk]]
+            _free(drop, local_only=False)
+
         emit_fn = hot_writer.emit_fn
+
+        def fetch_or_rebuild(pairs, bucket: int, blk: int | None):
+            """ray.get each (ref, chunk) pair; a lost/freed object is
+            re-derived from its chunk files — the one-map recovery unit."""
+            import ray as _r
+
+            bufs, n_rb = [], 0
+            for ref, ci in pairs:
+                try:
+                    bufs.append(_r.get(ref))
+                except (_r.exceptions.ObjectLostError,
+                        _r.exceptions.ObjectFreedError):
+                    bufs.append(rebuilder(_r.get(chunks_ref)[ci], bucket, blk))
+                    n_rb += 1
+            return bufs, n_rb
 
         # ONE remote function for emits AND normal buckets: Ray queues
         # lease requests per scheduling class (function × resources), so
@@ -1189,13 +1279,20 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         @ray.remote
         def p2_task(kind: int, a, name, G, refs: list):
             if kind == 0:  # normal bucket; a = bucket id
-                tabs = [_unship(b) for b in ray.get(list(refs))]
+                bufs, n_rb = fetch_or_rebuild(refs, a, None)
+                tabs = [_unship(b) for b in bufs]
                 fresh = pa.concat_tables(tabs, promote_options="default")
                 merged, pd_, pr_, app = bucket_table(a, fresh)
-                return writer(merged, a, prior_dups=pd_, prior_rows=pr_,
-                              append_totals=app)
+                df = writer(merged, a, prior_dups=pd_, prior_rows=pr_,
+                            append_totals=app)
+                df["exchange_rebuilds"] = n_rb
+                return df
             # hot emit; a = prior files for this turn block
-            return emit_fn(a, name, G, *ray.get(list(refs)))
+            bk_, blk_ = (int(x) for x in name.split("."))
+            bufs, n_rb = fetch_or_rebuild(refs, bk_, blk_)
+            out = emit_fn(a, name, G, *bufs)
+            out["rebuilds"] = n_rb
+            return out
 
         # hot pseudo-buckets FIRST: gates resolve instantly from the
         # map-side summaries, so the giant key's emit blocks (the longest
@@ -1441,6 +1538,12 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
         ]
         report["p2_task_wall_p50"] = round(float(ran["wall_sec"].median()), 3)
         report["p2_task_wall_sum"] = round(float(ran["wall_sec"].sum()), 2)
+    if len(ran) and "exchange_rebuilds" in ran.columns:
+        # per-map recovery telemetry: nonzero = lost exchange objects were
+        # re-derived from their chunk's deterministic map (never a rerun)
+        report["exchange_rebuilds"] = int(
+            ran["exchange_rebuilds"].fillna(0).sum()
+        )
     return report
 
 

@@ -277,3 +277,26 @@ def test_chunked_doc_contract_matches_default(hot_corpus, tmp_path):
     hot_parts = chk[chk["conv_id"] == "conv-hot"]
     assert len(hot_parts) >= GAP_AT // 256
     assert (hot_parts["assembled_text"].str.count("\n") < 256).all()
+
+
+def test_objstore_exchange_recovers_lost_refs(hot_corpus, tmp_path,
+                                              monkeypatch):
+    """Per-map retry (objstore exchange): with half the exchange objects
+    genuinely freed from plasma mid-run (simulating a dead phase-1
+    worker), phase 2 re-derives each lost slice from its chunk's
+    deterministic map inline — the run completes with byte-identical
+    output and reports how many slices were rebuilt; no run-level rerun,
+    no manifest fallback."""
+    corpus, _ = hot_corpus
+    ctl_out = str(tmp_path / "ctl")
+    rec_out = str(tmp_path / "rec")
+    ctl = _run(corpus, ctl_out)
+    assert ctl.get("exchange_rebuilds", 0) == 0
+
+    monkeypatch.setenv("GRAFT_TEST_FREE_EXCHANGE", "1")
+    rec = _run(corpus, rec_out)
+    assert rec["exchange_rebuilds"] > 0  # recovery actually exercised
+    for k in ("rows_in", "routed", "quarantined", "dup_dropped", "n_sinks"):
+        assert rec[k] == ctl[k], k
+    for kind in ("routed", "quarantine", "sink_counts", "docs"):
+        pd.testing.assert_frame_equal(_df(rec_out, kind), _df(ctl_out, kind))
