@@ -110,7 +110,6 @@ def ensure_bench_corpus(sf_dir: str) -> str:
 
 def run_benchmarks() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from log_aggregator_ray.pipelines.queries import build_catalog
 
     corpus = ensure_bench_corpus(SF_DIR)  # generated once, cached (untimed)
     _init_ray(NUM_CPUS)
@@ -172,8 +171,6 @@ def run_benchmarks() -> dict:
     timings["flagship"] = round(headline, 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # secondary pipelines over the driver tables (best of 2 — the first
-    # execution pays actor-pool spawn and any writeback backlog).
     # --scaling subprocesses only need the headline number.
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         import ray
@@ -189,23 +186,25 @@ def run_benchmarks() -> dict:
             "n_turns": int(n_turns),
             "turns_per_sec": round(n_turns / headline, 1),
         }
-    subprocess.run(["sync"], check=False)
-    queries, _ = build_catalog()
-    for name in ["lineitem_pricing_summary", "revenue_by_nation",
-                 "docs_token_totals", "docs_exact_dedup", "ann_topk",
-                 "docs_neardup_verified"]:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            res = queries[name](SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
     import ray
 
     ray.shutdown()
+    # secondaries: ISOLATED measurement per query (VERDICT r3 #4) — fresh
+    # interpreter + fresh Ray session each, sync+settle and an idle gate
+    # between them (like the scaling legs), best-of-3 inside the process.
+    # The round-3 in-process form inherited the flagship's writeback and
+    # ambient drift, which made 1.8-vs-2.1 s regressions unfalsifiable.
+    for name in SECONDARIES:
+        _settle_idle()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            env=dict(os.environ, GRAFT_SF_DIR=SF_DIR,
+                     RAY_GRAFT_CPUS=str(NUM_CPUS)),
+            capture_output=True, text=True, check=True,
+        ).stdout
+        one = json.loads(out.strip().splitlines()[-1])
+        timings[name] = one["best"]
+        timings[f"{name}_walls"] = one["walls"]
     return {
         "metric": "flagship parse→enrich→route→aggregate wall sec (sf corpus)",
         "value": timings["flagship"],
@@ -216,6 +215,47 @@ def run_benchmarks() -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / headline, 1),
     }
+
+
+SECONDARIES = ["lineitem_pricing_summary", "revenue_by_nation",
+               "docs_token_totals", "docs_exact_dedup", "ann_topk",
+               "docs_neardup_verified"]
+
+
+def _settle_idle(max_wait: float = 30.0, load_gate: float = 6.0) -> None:
+    """sync + wait for the 1-min load average to drop below the gate (or
+    the deadline): lets the previous measurement's writeback and worker
+    teardown drain instead of bleeding into the next one."""
+    subprocess.run(["sync"], check=False)
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < load_gate:
+            break
+        time.sleep(2.0)
+    time.sleep(2.0)
+
+
+def run_one_query(name: str) -> dict:
+    """--one <name>: measure a single catalog query in THIS process —
+    fresh Ray session, best-of-3 — and print one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(NUM_CPUS)
+    from log_aggregator_ray.pipelines.queries import build_catalog
+
+    queries, _ = build_catalog()
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        walls.append(round(time.perf_counter() - t0, 3))
+    import ray
+
+    ray.shutdown()
+    return {"query": name, "best": min(walls), "walls": walls,
+            "num_cpus": NUM_CPUS,
+            "methodology": "fresh-process best-of-3, sync+settle, idle gate"}
 
 
 def run_scaling() -> dict:
@@ -312,5 +352,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--one" in sys.argv:
+        print(json.dumps(run_one_query(sys.argv[sys.argv.index("--one") + 1])))
     else:
         print(json.dumps(run_benchmarks()))
