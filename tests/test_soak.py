@@ -1,0 +1,196 @@
+"""10×-scale soak of the round-3 operator family (VERDICT r3 #8): pivot,
+rollup-shape aggregates, range join, HLL-vs-exact, sequence packing and
+shard assignment at millions of rows — sizes where silent truncation,
+int32 overflow or per-group driver state would show.
+
+Gated behind GRAFT_SOAK=1 (several minutes of compute): the driver's
+per-round pytest budget runs the fast suite; run this explicitly after
+touching any of these operators —  GRAFT_SOAK=1 pytest tests/test_soak.py
+Ground truths are analytic or single-pass numpy, never O(n²).
+"""
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("GRAFT_SOAK"),
+    reason="soak tests: set GRAFT_SOAK=1 (several minutes)",
+)
+
+N_EVENTS = 10_000_000
+N_DOCS = 2_000_000
+
+
+@pytest.fixture(scope="module")
+def big_events():
+    rng = np.random.default_rng(42)
+    return pa.table({
+        "day": pa.array(rng.integers(0, 3650, N_EVENTS), pa.int64()),
+        "etype": pa.array(
+            np.array(["a", "b", "c", "d", "e"])[rng.integers(0, 5, N_EVENTS)]
+        ),
+        "value": pa.array(np.round(rng.random(N_EVENTS) * 100, 2)),
+        "uid": pa.array(rng.integers(0, 2_000_000, N_EVENTS), pa.int64()),
+    })
+
+
+def test_soak_bucketed_pivot(big_events):
+    """10M rows → 3650×5 pivot: every row dimension present, global sum
+    conserved to float tolerance, wall recorded."""
+    from log_aggregator_ray.stages.aggregate import bucketed_pivot
+
+    t0 = time.perf_counter()
+    wide = bucketed_pivot(
+        rd.from_arrow(big_events).repartition(64), "day", "etype", "value",
+        col_values=["a", "b", "c", "d", "e"], num_buckets=64, round_to=None,
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(wide) == 3650
+    got_total = wide[["a", "b", "c", "d", "e"]].to_numpy().sum()
+    exp_total = float(np.sum(big_events["value"].to_numpy()))
+    assert abs(got_total - exp_total) < 1e-3 * max(1.0, abs(exp_total))
+    # spot-check one (day, etype) cell against a direct mask
+    day0 = big_events["day"].to_numpy() == 17
+    ea = big_events["etype"].to_numpy(zero_copy_only=False) == "b"
+    exp_cell = float(big_events["value"].to_numpy()[day0 & ea].sum())
+    assert abs(float(wide.set_index("day").loc[17, "b"]) - exp_cell) < 1e-6 * max(1.0, exp_cell)
+    print(f"\npivot 10M rows: {wall:.2f}s")
+
+
+def test_soak_bucketed_groupby_high_cardinality(big_events):
+    """2M distinct keys through the partial→shuffle→combine path: exact
+    counts conserved, no driver materialization of the key space."""
+    from log_aggregator_ray.stages.aggregate import bucketed_groupby
+
+    t0 = time.perf_counter()
+    out = bucketed_groupby(
+        rd.from_arrow(big_events).repartition(64), ["uid"],
+        {"n": (None, "count"), "s": ("value", "sum")}, num_buckets=64,
+    )
+    n_keys = out.count()
+    tot = out.sum("n")
+    wall = time.perf_counter() - t0
+    assert tot == N_EVENTS
+    assert n_keys == len(np.unique(big_events["uid"].to_numpy()))
+    print(f"\ngroupby 10M rows / ~2M keys: {wall:.2f}s")
+
+
+def test_soak_range_join_analytic():
+    """Range join at 4M right rows with ANALYTIC ground truth: per key the
+    right side is the integer grid 0..m-1, so count in (t-W, t] for a left
+    row at t is exactly min(W, t+1) — no O(n²) reference needed."""
+    from log_aggregator_ray.functions.joins import bucketed_range_agg_join
+
+    keys, m, W = 400, 10_000, 137
+    k = np.repeat(np.arange(keys, dtype=np.int64), m)
+    on = np.tile(np.arange(m, dtype=np.int64), keys)
+    right = pa.table({"k": pa.array(k), "on": pa.array(on),
+                      "v": pa.array(np.ones(keys * m))})
+    lk = np.repeat(np.arange(keys, dtype=np.int64), 50)
+    lt = np.tile((np.arange(50, dtype=np.int64) * 199) % m, keys)
+    left = pa.table({"k": pa.array(lk), "on": pa.array(lt),
+                     "lid": pa.array(np.arange(keys * 50, dtype=np.int64))})
+    t0 = time.perf_counter()
+    got = bucketed_range_agg_join(
+        rd.from_arrow(left).repartition(16),
+        rd.from_arrow(right).repartition(32),
+        "k", "on", window=W, agg_col="v", num_buckets=32,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    wall = time.perf_counter() - t0
+    exp = np.minimum(W, lt + 1)
+    assert (got["n_in_range"].to_numpy() == exp).all()
+    assert np.allclose(got["sum_in_range"], exp.astype(float))
+    print(f"\nrange join 4M right rows: {wall:.2f}s")
+
+
+def test_soak_hll_vs_exact(big_events):
+    """HLL at 10M rows / 5 groups vs exact distinct counts: ≤5% at p=12."""
+    from log_aggregator_ray.functions.sketches import hll_group_distinct
+
+    t0 = time.perf_counter()
+    est = hll_group_distinct(
+        rd.from_arrow(big_events).repartition(64), "etype", "uid"
+    ).to_pandas().set_index("etype")["est_distinct"]
+    wall = time.perf_counter() - t0
+    df = pd.DataFrame({
+        "etype": big_events["etype"].to_numpy(zero_copy_only=False),
+        "uid": big_events["uid"].to_numpy(),
+    })
+    exact = df.groupby("etype")["uid"].nunique()
+    for g in exact.index:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05, (g, est[g], exact[g])
+    print(f"\nhll 10M rows: {wall:.2f}s")
+
+
+@pytest.fixture(scope="module")
+def big_docs():
+    rng = np.random.default_rng(7)
+    words = rng.integers(1, 60, N_DOCS)
+    # text only matters through its whitespace token count — synthesize
+    # "w w w ..." directly at the target counts
+    texts = pa.array(["w " * (int(n) - 1) + "w" for n in words])
+    return pa.table({
+        "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64)),
+        "text": texts,
+    }), words.astype(np.int64)
+
+
+def test_soak_pack_sequences_invariants(big_docs):
+    """2M docs through the distributed prefix-sum: every doc packed once,
+    total tokens conserved, pack ids contiguous from 0, and every pack's
+    START offset below (pack_id+1)×budget (the floor-of-prefix contract)."""
+    from log_aggregator_ray.functions import shards
+
+    docs, words = big_docs
+    budget = 4096
+    t0 = time.perf_counter()
+    got = shards.pack_sequences(
+        rd.from_arrow(docs), budget=budget, order="fast", num_ranges=64,
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(got) == N_DOCS
+    assert got["doc_id"].is_unique
+    assert int(got["tokens"].sum()) == int(words.sum())
+    pk = got["pack_id"].to_numpy()
+    assert pk.min() == 0
+    assert set(np.unique(pk)) == set(range(int(pk.max()) + 1))
+    # conservation: sum of tokens in packs < id p == p*budget .. bounded
+    by_pack = got.groupby("pack_id")["tokens"].sum().to_numpy()
+    cum = np.cumsum(by_pack)
+    # doc assigned to the pack where it STARTS ⇒ all but the last row of a
+    # pack fit inside it: cumulative tokens through pack p is within one
+    # max-doc of (p+1)*budget
+    max_doc = int(got["tokens"].max())
+    upper = (np.arange(len(by_pack), dtype=np.int64) + 1) * budget + max_doc
+    assert (cum <= upper).all()
+    print(f"\npack_sequences 2M docs: {wall:.2f}s")
+
+
+def test_soak_assign_shards_invariants(big_docs):
+    """2M docs → 64 shards: every doc exactly once, shard ids complete,
+    per-shard positions are a permutation of 0..len-1, and the assignment
+    is sharding-invariant (same result from a different block layout)."""
+    from log_aggregator_ray.functions import shards
+
+    docs, _ = big_docs
+    t0 = time.perf_counter()
+    a = shards.assign_shards(
+        rd.from_arrow(docs), num_shards=64, order="fast"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    wall = time.perf_counter() - t0
+    assert len(a) == N_DOCS and a["doc_id"].is_unique
+    assert set(a["shard"].unique()) == set(range(64))
+    sizes = a.groupby("shard")["pos"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 0).all()
+    assert (sizes["max"] == sizes["count"] - 1).all()
+    b = shards.assign_shards(
+        rd.from_arrow(docs).repartition(97), num_shards=64, order="fast"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    print(f"\nassign_shards 2M docs: {wall:.2f}s")
