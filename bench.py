@@ -186,6 +186,26 @@ def run_benchmarks() -> dict:
             "n_turns": int(n_turns),
             "turns_per_sec": round(n_turns / headline, 1),
         }
+    # chunked-doc contract headline (VERDICT r3 #2): same pipeline with
+    # doc_chunk_rows on — hot-sink doc parts written block-parallel by the
+    # emits, no serial giant-cell finalize (measured ~2.5 s off phase 2 at
+    # this corpus's hot share)
+    if not doc_chunk_rows:
+        best_c = float("inf")
+        for _ in range(reps):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            subprocess.run(["sync"], check=False)
+            time.sleep(3.0)
+            t0 = time.perf_counter()
+            run_flagship(
+                corpus, out_dir, num_buckets=64,
+                enrich_concurrency=max(2, NUM_CPUS // 4), write_docs=True,
+                doc_chunk_rows=65536,
+            )
+            best_c = min(best_c, time.perf_counter() - t0)
+        timings["flagship_chunked_docs"] = round(best_c, 3)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     import ray
 
     ray.shutdown()
