@@ -10,6 +10,14 @@ exchange whatever the value cardinality.  Standard error 1.04/sqrt(m)
 (~1.6% at p=12), linear-counting correction on the low range per the
 original paper.
 
+Heavy hitters: ``topk_tokens_sketch`` is the bounded-exchange sibling of
+the exact ``corpus.top_tokens`` — per-block summaries pruned to m
+counters with a recorded residual bound (the pruned-partials form of
+Misra-Gries / SpaceSaving merging: counts are exact lower bounds, any
+token absent from the merged summary has true count ≤ R = Σ per-block
+residuals).  The exact op ships every distinct token per block; the
+sketch ships ≤ m+1 rows per block whatever the vocabulary.
+
 Determinism: values hash with the repo's splitmix64 (fixed), so the
 estimate is identical across runs, block orders and cluster sizes —
 pinned-golden testable (the SQL-oracle compare can't express an
@@ -104,3 +112,87 @@ def hll_group_distinct(ds, group_col: str, value_col: str, p: int = 12,
     return regs.map_batches(add_gbucket, batch_format="pandas").groupby(
         "__gbucket"
     ).map_groups(estimate, batch_format="pandas")
+
+
+def topk_tokens_sketch(ds, text_col: str = "text", k: int = 50,
+                       m: int = 4096, pattern: str | None = None,
+                       num_buckets: int = 16) -> pd.DataFrame:
+    """Approximate global top-k tokens with BOUNDED exchange volume: each
+    block's exact counts (one pyarrow C kernel) are pruned to its m
+    largest, plus one sentinel row carrying the block's residual — the
+    largest pruned count, an upper bound on ANY token's uncounted mass in
+    that block.  Partials merge by plain summation (the pruned-partials
+    form of Misra-Gries/SpaceSaving merging), so the exchange ships
+    ≤ m+1 rows per block whatever the vocabulary size; the exact
+    ``corpus.top_tokens`` ships every distinct token per block.
+
+    Guarantees (R = Σ per-block residuals, returned as ``r_bound``):
+      * every returned count ``n`` is an exact LOWER bound, and
+        ``n ≤ true ≤ n + R``;
+      * any token NOT in the merged summary has true count ≤ R — so when
+        the k-th returned count exceeds R the returned top-k SET is the
+        true top-k set.
+    Blocks with fewer than m distinct tokens prune nothing (R = 0 ⇒
+    byte-identical to the exact op) — the small-scale oracle condition.
+
+    Returns (token, n, n_upper, r_bound) rows, count-desc / token-asc."""
+    import pyarrow.compute as pc
+
+    from ..functions.corpus import TOKEN_SPLIT_PATTERN
+    from ..stages.aggregate import bucketed_groupby
+
+    pattern = pattern or TOKEN_SPLIT_PATTERN
+
+    def part(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t[text_col]), pattern)
+        )
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        tok = vc.field("values")
+        n = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(n) <= m:
+            return pa.table({"token": tok, "n": pa.array(n, pa.int64())})
+        # keep the m largest (ties token-asc for determinism); the largest
+        # DROPPED count is this block's residual, carried on the sentinel
+        # "" row — "" cannot collide with a real token (filtered above)
+        order = np.lexsort((tok.to_numpy(zero_copy_only=False), -n))
+        keep, drop = order[:m], order[m:]
+        return pa.table({
+            "token": pa.concat_arrays(
+                [tok.take(pa.array(np.sort(keep))), pa.array([""])]
+            ),
+            "n": pa.array(
+                np.r_[n[np.sort(keep)], int(n[drop].max())], pa.int64()
+            ),
+        })
+
+    partials = ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    combined = bucketed_groupby(
+        partials, ["token"], {"n": ("n", "sum")}, num_buckets=num_buckets
+    )
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        # keep each bucket's top-k PLUS the sentinel (its count is R's
+        # contribution and must reach the driver regardless of rank)
+        top = df.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+        sent = df[df["token"] == ""]
+        return pd.concat([top, sent]).drop_duplicates("token")
+
+    tops = combined.map_batches(bucket_top, batch_format="pandas").to_pandas()
+    r_bound = int(tops.loc[tops["token"] == "", "n"].sum())
+    out = (
+        tops[tops["token"] != ""]
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.assign(
+        n=out["n"].astype("int64"),
+        n_upper=(out["n"] + r_bound).astype("int64"),
+        r_bound=np.int64(r_bound),
+    )

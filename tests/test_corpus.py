@@ -366,3 +366,55 @@ def test_bucketed_pivot_matches_pandas():
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_names=False)
     assert (got["never"] == 0).all()
+
+
+def test_topk_tokens_sketch_bounds_and_exactness():
+    """Pruned-partials heavy hitters: with m forced below the per-block
+    vocabulary, every returned count is an exact lower bound within R of
+    the truth, the clear hitters (true count > R) are all present with
+    EXACT counts, and with m large the sketch equals the exact op."""
+    from log_aggregator_ray.functions import corpus
+    from log_aggregator_ray.functions.sketches import topk_tokens_sketch
+
+    rng = np.random.default_rng(11)
+    # Zipf-ish: a few very heavy tokens + a long tail of rare ones
+    heavy = [f"hot{i}" for i in range(5)]
+    texts = []
+    for d in range(200):
+        toks = [heavy[rng.integers(0, 5)] for _ in range(40)]
+        toks += [f"rare{rng.integers(0, 5000)}" for _ in range(15)]
+        texts.append(" ".join(toks))
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(8)
+
+    exact = corpus.top_tokens(
+        rd.from_items([{"text": t} for t in texts]).repartition(8), k=2000
+    ).set_index("token")["n"]
+
+    got = topk_tokens_sketch(
+        rd.from_items([{"text": t} for t in texts]).repartition(8),
+        k=10, m=16, num_buckets=4,
+    )
+    R = int(got["r_bound"].iloc[0])
+    assert R > 0  # m=16 actually pruned
+    for _, row in got.iterrows():
+        true = int(exact[row["token"]])
+        assert row["n"] <= true <= row["n_upper"], (row["token"], true)
+    # every clear hitter (true count > R) is present, with EXACT count
+    # (a token in every block's top-m loses no mass)
+    clear = exact[exact > R]
+    assert set(heavy) <= set(clear.index)
+    got_idx = got.set_index("token")
+    for tok in heavy:
+        assert tok in got_idx.index
+        assert int(got_idx.loc[tok, "n"]) == int(exact[tok])
+
+    # large m ⇒ nothing pruned ⇒ equal to the exact op, R = 0
+    full = topk_tokens_sketch(ds, k=10, m=100_000, num_buckets=4)
+    assert int(full["r_bound"].iloc[0]) == 0
+    exact10 = corpus.top_tokens(
+        rd.from_items([{"text": t} for t in texts]).repartition(8), k=10
+    )
+    pd.testing.assert_frame_equal(
+        full[["token", "n"]], exact10, check_dtype=False
+    )
+    assert (full["n_upper"] == full["n"]).all()
