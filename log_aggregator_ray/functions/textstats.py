@@ -205,3 +205,95 @@ class LangId:
         batch = batch.append_column("lang_pred",
                                     pa.array(langs[best], pa.string()))
         return batch.append_column("lang_conf", pa.array(conf, pa.float64()))
+
+
+def bm25_scores(ds, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every document against a fixed query term set —
+    the retrieval-scoring pass of a search/RAG data pipeline (Robertson &
+    Zaragoza 2009; Lucene's non-negative idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Two passes, both bounded:
+      1. corpus statistics — ONE tiny partial row set per block
+         (N_docs, Σ doc_len, per-query-term document frequency), combined
+         on the driver: O(blocks × (|terms|+1)) rows, never the vocabulary;
+      2. streaming vectorized scoring — per block: one RE2 split, token →
+         doc row mapping via list_parent_indices, per-term tf by bincount,
+         closed-form score.  No shuffle at all: the only exchanged state
+         is the |terms|+2 broadcast scalars.
+
+    Doc length = non-empty token count under the corpus tokenizer
+    (corpus.TOKEN_SPLIT_PATTERN), identical in the SQL oracle.  Returns
+    (id_col, score float64 rounded 6dp) for docs with score > 0.
+    """
+    from .corpus import TOKEN_SPLIT_PATTERN
+
+    terms = sorted(set(t.lower() for t in terms))
+    term_arr = pa.array(terms)
+
+    def _flat_tokens(t: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      TOKEN_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat, parent, valid
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        flat, parent, valid = _flat_tokens(t)
+        n = t.num_rows
+        lens_sum = int(valid.sum())
+        # per-term df: docs in this block containing the term (docs are
+        # unique rows, so block partials sum to the global df)
+        dfs = []
+        for term in terms:
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False) & valid
+            dfs.append(int(len(np.unique(parent[hit]))))
+        return pa.table({
+            "term": pa.array(terms + ["\x00stats"]),
+            "df": pa.array(dfs + [n], pa.int64()),
+            "len_sum": pa.array([0] * len(terms) + [lens_sum], pa.int64()),
+        })
+
+    parts = ds.map_batches(stats_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("term").sum()
+    n_docs = int(agg.loc["\x00stats", "df"])
+    avgdl = float(agg.loc["\x00stats", "len_sum"]) / max(1, n_docs)
+    df_map = {t: int(agg.loc[t, "df"]) if t in agg.index else 0
+              for t in terms}
+    idf = np.array([
+        np.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+        for t in terms
+    ])
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parent, valid = _flat_tokens(t)
+        n = t.num_rows
+        lens = np.bincount(parent[valid], minlength=n).astype(np.float64)
+        s = np.zeros(n)
+        norm = k1 * (1.0 - b + b * lens / avgdl)
+        hits = pc.is_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False) & valid
+        if hits.any():
+            # one pass over ONLY the matching tokens, per term
+            h_parent = parent[hits]
+            h_tok = flat.filter(pa.array(hits))
+            for j, term in enumerate(terms):
+                sel = pc.equal(h_tok, term).to_numpy(zero_copy_only=False)
+                tf = np.bincount(h_parent[sel], minlength=n).astype(
+                    np.float64)
+                s += idf[j] * tf * (k1 + 1.0) / (tf + norm)
+        keep = s > 0
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(keep)),
+            "score": pa.array(np.round(s[keep], 6), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

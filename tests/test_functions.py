@@ -684,3 +684,46 @@ def test_bucketed_stage_blocks_stay_arrow_with_empty_partitions():
     exp = (t.to_pandas().groupby("k").agg(n=("v", "size"), s=("v", "sum"))
            .reset_index())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bm25_matches_bruteforce():
+    """bm25_scores vs a from-scratch python BM25 (Lucene idf variant) on a
+    tiny corpus — independent of the SQL oracle."""
+    import math
+
+    from log_aggregator_ray.functions.textstats import bm25_scores
+
+    docs = [
+        "join hash join merge",          # tf(join)=2
+        "hash scan filter",
+        "spill spill spill spill",
+        "row column batch",              # no query terms → excluded
+        "",                              # empty doc → excluded
+    ]
+    terms = ["join", "hash", "spill"]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(3)
+    got = (
+        bm25_scores(ds, terms).to_pandas()
+        .set_index("doc_id")["score"].sort_index()
+    )
+
+    tok = [([w for w in d.lower().split() if w]) for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in tok) / N
+    df = {q: sum(q in t for t in tok) for q in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, t in enumerate(tok):
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf:
+                idf = math.log(1 + (N - df[q] + 0.5) / (df[q] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 6)
+    assert set(got.index) == set(exp)
+    for i, v in exp.items():
+        assert abs(got[i] - v) < 1e-6, (i, got[i], v)
