@@ -727,3 +727,47 @@ def test_bm25_matches_bruteforce():
     assert set(got.index) == set(exp)
     for i, v in exp.items():
         assert abs(got[i] - v) < 1e-6, (i, got[i], v)
+
+
+def test_sampled_quantiles_accuracy_and_determinism():
+    """Bottom-k hash-sample quantiles: within sampling tolerance of exact
+    at k=512, identical across block layouts (deterministic sample), and
+    EXACT when the group is smaller than k."""
+    from log_aggregator_ray.functions.quantiles import sampled_group_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "v": rng.lognormal(0, 1, n),
+        "id": np.arange(n, dtype="int64"),
+    })
+    # group c: tiny (< k) → sampled wholesale → exact
+    small = pd.DataFrame({
+        "g": ["c"] * 100,
+        "v": np.sort(rng.random(100)),
+        "id": np.arange(n, n + 100, dtype="int64"),
+    })
+    df = pd.concat([df, small], ignore_index=True)
+    qs = [0.5, 0.9]
+    got = sampled_group_quantiles(
+        rd.from_pandas(df).repartition(8), "g", "v", qs, id_col="id",
+        k=512, order="fast",
+    ).set_index(["g", "q"])["value"]
+    got2 = sampled_group_quantiles(
+        rd.from_pandas(df).repartition(3), "g", "v", qs, id_col="id",
+        k=512, order="fast",
+    ).set_index(["g", "q"])["value"]
+    pd.testing.assert_series_equal(got, got2)  # layout-invariant sample
+    for g in ["a", "b"]:
+        v = df.loc[df.g == g, "v"].to_numpy()
+        for q in qs:
+            exact = np.quantile(v, q)
+            # stderr ~ sqrt(q(1-q)/k) in rank space; allow 5 sigma via the
+            # value at the rank-shifted quantile
+            tol_rank = 5 * np.sqrt(q * (1 - q) / 512)
+            lo = np.quantile(v, max(0, q - tol_rank))
+            hi = np.quantile(v, min(1, q + tol_rank))
+            assert lo <= got[(g, q)] <= hi, (g, q, got[(g, q)], exact)
+    for q in qs:
+        assert abs(got[("c", q)] - np.quantile(small["v"], q)) < 1e-6
