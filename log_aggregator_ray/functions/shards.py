@@ -141,14 +141,17 @@ def pack_sequences(ds, budget: int = 2048, text_col: str = "text",
         local_cumsum, batch_format="pyarrow"
     ).materialize()
 
-    from ray.data.aggregate import Sum
+    # per-range totals WITHOUT a second shuffle: a range is one task's
+    # sorted output, so its total is just that block's last local cumsum —
+    # per-batch max partials + a driver combine over O(ranges × blocks)
+    # tiny rows (the round-3 form re-shuffled all rows through a
+    # groupby().aggregate(Sum) to produce num_ranges scalars)
+    from ..stages.aggregate import partial_groupby
 
-    totals = {
-        int(r["_range"]): int(r["total"])
-        for r in ranged.groupby("_range")
-        .aggregate(Sum("tokens", alias_name="total"))
-        .take_all()
-    }
+    tot_df = partial_groupby(ranged, ["_range"],
+                             {"total": ("_local_cum", "max")})
+    totals = {int(r["_range"]): int(r["total"])
+              for _, r in tot_df.iterrows()}
     offsets: dict[int, int] = {}
     acc = 0
     for rng in sorted(totals):
