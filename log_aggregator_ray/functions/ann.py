@@ -446,49 +446,42 @@ def embedding_near_dup(ds, threshold: float = 0.45,
     With ``block_col``: one normalized matmul (m @ m.T) per block —
     vectorized, no per-pair Python.  With ``block_col=None`` (no natural
     key): multi-table hyperplane-LSH candidates (``lsh_candidate_pairs``)
-    verified by EXACT cosine — candidates join to their embeddings via two
-    bucketed hash joins (the ``dedup.neardup_verified_pairs`` shape: only
-    candidate rows ever carry embeddings through a shuffle), so every
-    emitted pair is true; LSH only bounds recall."""
+    verified by EXACT cosine, so every emitted pair is true; LSH only
+    bounds recall.  The verify is BROADCAST-INDEX by default (the
+    ``dedup._neardup_verify_broadcast`` shape, round 4): only the
+    candidate docs' embeddings are gathered, L2-normalized once, shipped
+    via one ``ray.put``, and every pairs block verifies with two
+    searchsorted gathers + a row dot — zero joins.  Above
+    ``broadcast_max_bytes`` of candidate embeddings it falls back to the
+    two-bucketed-join shape (byte-identical output, pytest-checked)."""
     import pandas as pd
 
     if block_col is None:
-        from .joins import bucketed_inner_join
+        import ray
 
         pairs = lsh_candidate_pairs(ds, n_tables=n_tables, nbits=nbits,
                                     col=col, id_col=id_col, seed=seed)
-        emb_a = ds.map_batches(
-            lambda t: pa.table({"id_a": t[id_col], "emb_a": t[col]}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        emb_b = ds.map_batches(
-            lambda t: pa.table({"id_b": t[id_col], "emb_b": t[col]}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-        with_a = bucketed_inner_join(
-            pairs, emb_a, "id_a", ["id_b"], ["emb_a"], num_buckets=num_buckets
-        )
-        with_ab = bucketed_inner_join(
-            with_a, emb_b, "id_b", ["id_a", "emb_a"], ["emb_b"],
-            num_buckets=num_buckets,
-        )
+        pairs = pairs.materialize()
+        from .dedup import _block_rows
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-            a = np.stack(df["emb_a"].to_numpy()).astype(np.float64)
-            b = np.stack(df["emb_b"].to_numpy()).astype(np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-            cos = (a * b).sum(axis=1)
-            keep = cos >= threshold
-            return pd.DataFrame({
-                "id_a": df["id_a"].to_numpy()[keep],
-                "id_b": df["id_b"].to_numpy()[keep],
-                "cos_sim": np.round(cos[keep], 6),
-            })
+        id_parts = [p for p in ray.get(
+            pairs.select_columns(["id_a", "id_b"]).to_arrow_refs())
+            if _block_rows(p)]
+        needed = np.unique(np.concatenate([
+            np.concatenate([p["id_a"].to_numpy(zero_copy_only=False)
+                            for p in id_parts]),
+            np.concatenate([p["id_b"].to_numpy(zero_copy_only=False)
+                            for p in id_parts]),
+        ]).astype(np.int64)) if id_parts else np.empty(0, np.int64)
 
-        return with_ab.map_batches(verify, batch_format="pandas")
+        # probe dim from one row to size the guard
+        dim = len(ds.take(1)[0][col]) if len(needed) else 0
+        broadcast_max_bytes = 256 << 20
+        if len(needed) * dim * 8 <= broadcast_max_bytes:
+            return _emb_verify_broadcast(ds, pairs, needed, threshold,
+                                         col, id_col)
+        return _emb_verify_join(ds, pairs, threshold, col, id_col,
+                                num_buckets)
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(g[col].to_numpy()).astype(np.float64)
@@ -504,3 +497,111 @@ def embedding_near_dup(ds, threshold: float = 0.45,
         )
 
     return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+
+def _emb_verify_broadcast(ds, pairs, needed: np.ndarray, threshold: float,
+                          col: str, id_col: str):
+    """Zero-join exact-cosine verify: gather ONLY the candidate ids'
+    embeddings (bounded by the caller's byte guard), normalize once,
+    broadcast (ids_sorted, matrix) via ray.put, verify each pairs block
+    with two searchsorted row gathers + one row-wise dot."""
+    import pandas as pd
+    import ray
+
+    from .dedup import _block_rows
+
+    need_ref = ray.put(needed)
+
+    def gather(t: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        return t.filter(pa.array(hit)).select([id_col, col])
+
+    parts = [p for p in ray.get(
+        ds.map_batches(gather, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if _block_rows(p)]
+    if not parts:
+        ids_s, mat = np.empty(0, np.int64), np.zeros((0, 1))
+    else:
+        tbl = pa.concat_tables(parts, promote_options="default")
+        ids_s = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(tbl[col].to_pandas().to_numpy()).astype(np.float64)
+        order = np.argsort(ids_s)
+        ids_s, mat = ids_s[order], mat[order]
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    index_ref = ray.put((ids_s, mat))
+
+    def verify(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "cos_sim": pd.Series([], dtype=np.float64)})
+        if not t.num_rows:
+            return empty
+        ids_l, m = ray.get(index_ref)  # zero-copy plasma read
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra = np.searchsorted(ids_l, ia)
+        rb = np.searchsorted(ids_l, ib)
+        n = len(ids_l)
+        if n == 0 or (ids_l[np.minimum(ra, n - 1)] != ia).any() or \
+                (ids_l[np.minimum(rb, n - 1)] != ib).any():
+            raise ValueError(
+                "candidate pair references a vec_id absent from ds "
+                "(pairs must come from the same corpus)")
+        cos = (m[ra] * m[rb]).sum(axis=1)
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "id_a": ia[keep], "id_b": ib[keep],
+            "cos_sim": np.round(cos[keep], 6),
+        })
+
+    return pairs.select_columns(["id_a", "id_b"]).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _emb_verify_join(ds, pairs, threshold: float, col: str, id_col: str,
+                     num_buckets: int):
+    """Join-shape fallback for candidate sets too big to broadcast: two
+    bucketed hash joins carry embeddings only for candidate rows."""
+    import pandas as pd
+
+    from .joins import bucketed_inner_join
+
+    emb_a = ds.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "emb_a": t[col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    emb_b = ds.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "emb_b": t[col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_a = bucketed_inner_join(
+        pairs, emb_a, "id_a", ["id_b"], ["emb_a"], num_buckets=num_buckets
+    )
+    with_ab = bucketed_inner_join(
+        with_a, emb_b, "id_b", ["id_a", "emb_a"], ["emb_b"],
+        num_buckets=num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        a = np.stack(df["emb_a"].to_numpy()).astype(np.float64)
+        b = np.stack(df["emb_b"].to_numpy()).astype(np.float64)
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        cos = (a * b).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy()[keep],
+            "id_b": df["id_b"].to_numpy()[keep],
+            "cos_sim": np.round(cos[keep], 6),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pandas")

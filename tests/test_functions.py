@@ -771,3 +771,30 @@ def test_sampled_quantiles_accuracy_and_determinism():
             assert lo <= got[(g, q)] <= hi, (g, q, got[(g, q)], exact)
     for q in qs:
         assert abs(got[("c", q)] - np.quantile(small["v"], q)) < 1e-6
+
+
+def test_embedding_neardup_broadcast_matches_join_fallback():
+    """The keyless embedding near-dup's broadcast-index verify (default)
+    and its two-join fallback must be byte-identical — the fallback is
+    the >256MB-candidate-embeddings scale path."""
+    rng = np.random.default_rng(19)
+    base = rng.normal(size=(40, 16))
+    # plant near-dup pairs: 10 vectors + slightly perturbed copies
+    dup = base[:10] + rng.normal(scale=0.01, size=(10, 16))
+    mat = np.vstack([base, dup])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })
+    mk = lambda: rd.from_arrow(t).repartition(4)
+    bc = ann.embedding_near_dup(mk(), threshold=0.9, block_col=None).to_pandas()
+    pairs = ann.lsh_candidate_pairs(mk()).materialize()
+    jn = ann._emb_verify_join(mk(), pairs, 0.9, "embedding", "vec_id",
+                              8).to_pandas()
+    norm = lambda d: (d.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+                      .astype({"id_a": "int64", "id_b": "int64"}))
+    pd.testing.assert_frame_equal(norm(bc), norm(jn), check_dtype=False)
+    # the planted duplicates are found
+    found = set(zip(norm(bc)["id_a"], norm(bc)["id_b"]))
+    planted = {(i, 40 + i) for i in range(10)}
+    assert planted <= found
