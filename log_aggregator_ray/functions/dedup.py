@@ -1015,3 +1015,70 @@ def ngram_jaccard_pairs(ds, group_col: str, text_col: str = "text",
         return jaccard_verify(pairs, texts, k=k, threshold=threshold)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def dedup_against_index(ds, index_dir: str, col: str = "text",
+                        id_col: str = "doc_id"):
+    """Incremental exact dedup of NEW documents against a PERSISTED corpus
+    index — the "dedup today's shard against everything already ingested"
+    pass of an operating pipeline.  The index is a
+    ``sources.writers.write_bucketed_parquet`` output keyed on
+    ``content_hash``: hash-partitioned on disk, so each task reads ONE
+    index bucket file and the historical corpus is NEVER re-shuffled —
+    only the new rows (hash, id) move, and each index bucket is a
+    one-column parquet read.  At 100 TB the index buckets live on shared
+    storage and scale by raising the index's num_buckets.
+
+    Refuses an index whose hash kernel differs from this process's
+    (``stages.route.HASH_KERNEL`` — same contract as resume; a mismatched
+    kernel would bucket the same content elsewhere and silently miss
+    duplicates).  Returns the surviving new rows (id_col, content_hash).
+    """
+    import json
+    import os
+
+    from ..stages.route import HASH_KERNEL, stable_hash
+
+    meta_path = os.path.join(index_dir, "_manifests", "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("key_col") != "content_hash":
+        raise ValueError(
+            f"index at {index_dir} is keyed on {meta.get('key_col')!r}, "
+            f"need 'content_hash'"
+        )
+    if meta.get("hash_kernel") != HASH_KERNEL:
+        raise ValueError(
+            f"index hash kernel {meta.get('hash_kernel')!r} != this "
+            f"process's {HASH_KERNEL!r} — bucket layout would not line up"
+        )
+    num_buckets = int(meta["num_buckets"])
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_column(b, col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns([id_col, "content_hash"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (stable_hash(t["content_hash"]) % num_buckets).astype(np.int64)
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bk = int(t["_bucket"][0].as_py())
+        path = os.path.join(index_dir, f"bucket={bk:05d}.parquet")
+        t = t.drop_columns(["_bucket"])
+        if not os.path.exists(path):  # empty index bucket: all rows new
+            return t
+        seen = pq.read_table(path, columns=["content_hash"])["content_hash"]
+        keep = pc.invert(pc.is_in(t["content_hash"],
+                                  value_set=seen.combine_chunks()))
+        return t.filter(keep)
+
+    return (
+        hashed.map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(anti, batch_format="pyarrow")
+    )

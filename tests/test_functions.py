@@ -798,3 +798,54 @@ def test_embedding_neardup_broadcast_matches_join_fallback():
     found = set(zip(norm(bc)["id_a"], norm(bc)["id_b"]))
     planted = {(i, 40 + i) for i in range(10)}
     assert planted <= found
+
+
+def test_dedup_against_index(tmp_path):
+    """Incremental dedup vs a persisted bucketed hash index: new docs
+    whose content exists in the index are dropped, genuinely-new ones
+    survive, duplicates-within-the-new-batch are NOT collapsed (that's
+    exact_dedup's job), and a kernel-mismatched index refuses."""
+    import json
+    import os
+
+    import ray.data as rdm
+
+    from log_aggregator_ray.functions.dedup import (add_hash_column,
+                                                    dedup_against_index)
+    from log_aggregator_ray.sources import writers
+
+    hist_texts = [f"historical document number {i}" for i in range(60)]
+    hist = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(hist_texts),
+    })
+    idx = str(tmp_path / "index")
+    hashed = rdm.from_arrow(hist).map_batches(
+        add_hash_column, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "content_hash"])
+    writers.write_bucketed_parquet(hashed, idx, "content_hash",
+                                   num_buckets=8)
+
+    new_texts = (
+        [hist_texts[i] for i in (3, 17, 42)]        # dups of history
+        + [f"fresh document {i}" for i in range(5)]  # genuinely new
+        + ["fresh document 0"]                       # dup WITHIN the batch
+    )
+    new = pa.table({
+        "doc_id": pa.array(np.arange(100, 100 + len(new_texts), dtype=np.int64)),
+        "text": pa.array(new_texts),
+    })
+    out = dedup_against_index(
+        rdm.from_arrow(new).repartition(3), idx
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [103, 104, 105, 106, 107, 108]
+
+    # kernel mismatch refuses (bucket layout would not line up)
+    meta_p = os.path.join(idx, "_manifests", "meta.json")
+    meta = json.load(open(meta_p))
+    meta["hash_kernel"] = "legacy"
+    json.dump(meta, open(meta_p, "w"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hash kernel"):
+        dedup_against_index(rdm.from_arrow(new), idx)
