@@ -1064,14 +1064,21 @@ def dedup_against_index(ds, index_dir: str, col: str = "text",
         return t.append_column("_bucket", pa.array(b, pa.int64()))
 
     def anti(t: pa.Table) -> pa.Table:
+        import glob as globmod
+
         import pyarrow.parquet as pq
 
         bk = int(t["_bucket"][0].as_py())
-        path = os.path.join(index_dir, f"bucket={bk:05d}.parquet")
+        # the base file plus any appended batch files for this bucket
+        # (writers.append_bucketed_parquet: bucket=NNNNN.a<tag>.parquet)
+        paths = sorted(globmod.glob(
+            os.path.join(index_dir, f"bucket={bk:05d}*.parquet")))
         t = t.drop_columns(["_bucket"])
-        if not os.path.exists(path):  # empty index bucket: all rows new
+        if not paths:  # empty index bucket: all rows new
             return t
-        seen = pq.read_table(path, columns=["content_hash"])["content_hash"]
+        seen = pa.concat_tables([
+            pq.read_table(p, columns=["content_hash"]) for p in paths
+        ])["content_hash"]
         keep = pc.invert(pc.is_in(t["content_hash"],
                                   value_set=seen.combine_chunks()))
         return t.filter(keep)

@@ -34,13 +34,19 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def committed_buckets(out_dir: str) -> set[int]:
+    """BASE-write commit state only — append manifests
+    (``bucket-NNNNN.a<tag>.json``) track their own batches and must not
+    make a never-base-written bucket look committed."""
+    import re
+
     d = _manifest_dir(out_dir)
     if not os.path.isdir(d):
         return set()
     out = set()
     for f in os.listdir(d):
-        if f.startswith("bucket-") and f.endswith(".json"):
-            out.add(int(f[len("bucket-"):-len(".json")]))
+        m = re.fullmatch(r"bucket-(\d+)\.json", f)
+        if m:
+            out.add(int(m.group(1)))
     return out
 
 
@@ -151,3 +157,83 @@ def read_bucketed_parquet(out_dir: str, columns: list[str] | None = None):
     from .readers import _clean_read_parquet
 
     return _clean_read_parquet(out_dir, columns=columns)
+
+
+def append_bucketed_parquet(ds, out_dir: str, key_col: str,
+                            batch_tag: str, codec: str = "zstd") -> dict:
+    """APPEND rows to an existing bucketed-parquet output (the operating
+    loop's "add today's survivors to the corpus index"): each bucket's
+    new rows land in ``bucket=NNNNN.a<tag>.parquet`` beside the existing
+    files — prior files are never rewritten — sealed by a
+    ``bucket-NNNNN.a<tag>.json`` manifest.  ``batch_tag`` identifies the
+    ingest batch deterministically (e.g. the input fingerprint): re-running
+    the same append skips buckets whose tagged manifest exists, so the
+    append is idempotent per (bucket, batch).
+
+    Partitioning (key, num_buckets, hash kernel) must match the base
+    write's meta — same contract as resume.  Consumers that read whole
+    buckets must glob ``bucket=NNNNN*.parquet`` (read_bucketed_parquet
+    and dedup_against_index do)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ..stages.route import HASH_KERNEL
+
+    if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", batch_tag):
+        raise ValueError("batch_tag must be [A-Za-z0-9_-]{1,64}")
+    meta_path = os.path.join(_manifest_dir(out_dir), "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("key_col") != key_col or meta.get("hash_kernel") != HASH_KERNEL:
+        raise ValueError(
+            f"append with changed partitioning: committed={meta}, "
+            f"requested key_col={key_col!r} kernel={HASH_KERNEL!r}"
+        )
+    num_buckets = int(meta["num_buckets"])
+    done = set()
+    for f in os.listdir(_manifest_dir(out_dir)):
+        m = re.fullmatch(rf"bucket-(\d+)\.a{re.escape(batch_tag)}\.json", f)
+        if m:
+            done.add(int(m.group(1)))
+    skip = np.array(sorted(done), dtype=np.int64) if done else None
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (stable_hash(t[key_col]) % num_buckets).astype(np.int64)
+        if skip is not None:
+            keep = ~np.isin(b, skip)
+            t = t.filter(pa.array(keep))
+            b = b[keep]
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def write_bucket(t: pa.Table) -> pd.DataFrame:
+        bk = int(t["_bucket"][0].as_py())
+        t = t.drop_columns(["_bucket"])
+        path = os.path.join(out_dir, f"bucket={bk:05d}.a{batch_tag}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        stats = [c for c in t.column_names if c not in _NO_STATS_COLS]
+        pq.write_table(t, tmp, compression=codec,
+                       write_statistics=stats or False)
+        os.replace(tmp, path)
+        man = {"bucket": bk, "rows": int(t.num_rows),
+               "bytes": int(os.path.getsize(path)), "batch": batch_tag}
+        mtmp = os.path.join(_manifest_dir(out_dir),
+                            f".bucket-{bk:05d}.a{batch_tag}.tmp-{os.getpid()}")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, os.path.join(
+            _manifest_dir(out_dir), f"bucket-{bk:05d}.a{batch_tag}.json"))
+        return pd.DataFrame([man])
+
+    ran = (
+        ds.map_batches(bucketize, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "buckets": int(len(ran)),
+        "rows": int(ran["rows"].sum()) if len(ran) else 0,
+        "skipped": len(done),
+    }

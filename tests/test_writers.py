@@ -135,3 +135,63 @@ def test_fresh_write_cleans_stale_buckets(table, tmp_path):
     rep = writers.write_bucketed_parquet(rd.from_arrow(table), out, "user",
                                          num_buckets=16)
     assert rep["buckets"] == 0 and rep["skipped"] == len(parts)
+
+
+def test_append_and_incremental_dedup_loop(tmp_path):
+    """The full operating loop: base index → ingest batch 1 (dedup vs
+    index, APPEND survivors) → ingest batch 2 sees batch 1's content as
+    duplicate.  Appends never rewrite prior files, are idempotent per
+    (bucket, batch_tag), and read_bucketed_parquet sees base + appends."""
+    import pyarrow as pa_
+
+    from log_aggregator_ray.functions.dedup import (add_hash_column,
+                                                    dedup_against_index)
+
+    def docs(ids, texts):
+        return pa_.table({
+            "doc_id": pa_.array(np.array(ids, dtype=np.int64)),
+            "text": pa_.array(texts),
+        })
+
+    def hashed(t):
+        return rd.from_arrow(t).map_batches(
+            add_hash_column, batch_format="pyarrow", zero_copy_batch=True
+        ).select_columns(["doc_id", "content_hash"])
+
+    idx = str(tmp_path / "index")
+    base = docs(range(20), [f"base doc {i}" for i in range(20)])
+    writers.write_bucketed_parquet(hashed(base), idx, "content_hash",
+                                   num_buckets=8)
+    files_before = set(glob.glob(os.path.join(idx, "*.parquet")))
+
+    b1 = docs(range(100, 105),
+              ["base doc 3", "wave one A", "wave one B", "wave one C",
+               "wave one A"])
+    surv1 = dedup_against_index(rd.from_arrow(b1), idx)
+    surv1_pd = surv1.to_pandas().sort_values("doc_id")
+    assert list(surv1_pd["doc_id"]) == [101, 102, 103, 104]  # 100 is a dup
+
+    rep = writers.append_bucketed_parquet(
+        hashed(b1.filter(pa_.array([i in (101, 102, 103, 104)
+                                    for i in b1["doc_id"].to_pylist()]))),
+        idx, "content_hash", batch_tag="wave1",
+    )
+    assert rep["rows"] == 4
+    assert files_before <= set(glob.glob(os.path.join(idx, "*.parquet")))
+    # idempotent re-append of the same batch: all buckets skipped
+    rep2 = writers.append_bucketed_parquet(
+        hashed(b1), idx, "content_hash", batch_tag="wave1")
+    assert rep2["rows"] == 0 and rep2["skipped"] == rep["buckets"]
+
+    b2 = docs(range(200, 204),
+              ["wave one B", "base doc 7", "wave two X", "wave one A"])
+    surv2 = dedup_against_index(rd.from_arrow(b2), idx).to_pandas()
+    assert list(surv2.sort_values("doc_id")["doc_id"]) == [202]
+
+    # read-back sees base + appended rows
+    total = writers.read_bucketed_parquet(idx).count()
+    assert total == 20 + 4
+    # base resume still sees its own commit state (append manifests
+    # must not masquerade as base commits)
+    assert writers.committed_buckets(idx) == set(range(8)) or \
+        len(writers.committed_buckets(idx)) <= 8
