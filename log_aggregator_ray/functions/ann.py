@@ -10,6 +10,8 @@ available here).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -605,3 +607,133 @@ def _emb_verify_join(ds, pairs, threshold: float, col: str, id_col: str,
         })
 
     return with_ab.map_batches(verify, batch_format="pandas")
+
+
+def build_ivf_index(ds, out_dir: str, nlist: int = 16,
+                    col: str = "embedding", id_col: str = "vec_id",
+                    sample_size: int = 4096, seed: int = 13,
+                    codec: str = "zstd") -> dict:
+    """PERSIST an IVF index: sampled k-means codebook + the corpus
+    partitioned into one parquet file per inverted list (``list=NNNNN
+    .parquet``, atomic tmp+rename, per-list manifests) — build once,
+    query many times without re-reading or re-clustering the corpus
+    (the similarity-search analog of ``dedup.dedup_against_index``'s
+    persisted layout).  ``centroids.parquet`` + ``_manifests/meta.json``
+    carry the codebook and build parameters; queries validate them.
+
+    Same codebook construction as ``batch_ivf_topk`` (bounded driver
+    sample, deterministic seed), so querying this index reproduces the
+    in-job IVF results exactly (pytest-pinned)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    sample = ds.limit(sample_size).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).to_pandas()
+    sample = sample.sort_values(id_col).reset_index(drop=True)
+    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    cents = _kmeans_fit(xs, nlist, seed=seed)
+    man_dir = os.path.join(out_dir, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _emb_matrix(t, col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        a = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("_list", pa.array(a))
+
+    def write_list(t: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        li = int(t["_list"][0].as_py())
+        t = t.drop_columns(["_list"])
+        path = os.path.join(out_dir, f"list={li:05d}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp, compression=codec)
+        os.replace(tmp, path)
+        man = {"list": li, "rows": int(t.num_rows)}
+        mtmp = os.path.join(man_dir, f".list-{li:05d}.tmp-{os.getpid()}")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, os.path.join(man_dir, f"list-{li:05d}.json"))
+        return pd.DataFrame([man])
+
+    ran = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_list")
+        .map_groups(write_list, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cpath = os.path.join(out_dir, "centroids.parquet")
+    tmp = f"{cpath}.tmp-{os.getpid()}"
+    pq.write_table(pa.table({
+        "list_id": pa.array(np.arange(len(cents), dtype=np.int64)),
+        "centroid": pa.array([[float(v) for v in c] for c in cents]),
+    }), tmp)
+    os.replace(tmp, cpath)
+    meta = {"kind": "ivf", "nlist": int(nlist), "dim": int(cents.shape[1]),
+            "seed": int(seed), "col": col, "id_col": id_col,
+            "metric": "cosine"}
+    mtmp = os.path.join(man_dir, f".meta.tmp-{os.getpid()}")
+    with open(mtmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(mtmp, os.path.join(man_dir, "meta.json"))
+    return {"lists": int(len(ran)), "rows": int(ran["rows"].sum())}
+
+
+def query_ivf_index(index_dir: str, query_ids, query_mat, k: int = 10,
+                    nprobe: int = 4, exclude_self: bool = True,
+                    concurrency: int = 2):
+    """Batch top-k against a PERSISTED IVF index (``build_ivf_index``):
+    load the tiny codebook, compute each query's ``nprobe`` nearest
+    lists, and read ONLY the probed list files — pruning at the read, so
+    at most nlist·nprobe/nlist of the corpus bytes ever leave storage —
+    then the same list-aware scorer as ``batch_ivf_topk``."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rdata
+
+    with open(os.path.join(index_dir, "_manifests", "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "ivf" or meta.get("metric") != "cosine":
+        raise ValueError(f"not a cosine IVF index: {meta}")
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(
+        ct["centroid"].to_pandas().to_numpy()[order]
+    ).astype(np.float64)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                           1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    paths = [
+        os.path.join(index_dir, f"list={int(li):05d}.parquet")
+        for li in np.unique(probe)
+    ]
+    paths = [p for p in paths if os.path.exists(p)]  # empty lists: no file
+    col, id_col = meta["col"], meta["id_col"]
+    if not paths:
+        import pandas as pd
+
+        return rdata.from_pandas(pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            id_col: pd.Series([], dtype=np.int64),
+            "cos_sim": pd.Series([], dtype=np.float64),
+        }))
+    ds = rdata.read_parquet(paths, columns=[id_col, col])
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, cents, probe))
+    scored = ds.map_batches(
+        BatchIVFScorer,
+        fn_constructor_kwargs={
+            "state_ref": ref, "k": k, "col": col, "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return _final_topk(scored, k, id_col)

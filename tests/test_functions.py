@@ -849,3 +849,45 @@ def test_dedup_against_index(tmp_path):
 
     with _pt.raises(ValueError, match="hash kernel"):
         dedup_against_index(rdm.from_arrow(new), idx)
+
+
+def test_persisted_ivf_index_matches_in_job(tmp_path):
+    """build_ivf_index + query_ivf_index must reproduce batch_ivf_topk
+    exactly (same codebook sample/seed, same scorer) while reading ONLY
+    the probed list files from disk."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    rng = np.random.default_rng(23)
+    n, dim = 400, 12
+    mat = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })
+    qids = np.arange(10, dtype=np.int64)
+    qmat = mat[:10]
+    mk = lambda: rd.from_arrow(t).repartition(4)
+
+    expect = ann.batch_ivf_topk(
+        mk(), qids, qmat, k=5, nlist=8, nprobe=3
+    ).to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+    idx = str(tmp_path / "ivf")
+    rep = ann.build_ivf_index(mk(), idx, nlist=8)
+    assert rep["rows"] == n
+    # partitioned layout on disk: every row in exactly one list file
+    files = [f for f in os.listdir(idx) if f.startswith("list=")]
+    assert 1 < len(files) <= 8
+    assert sum(pq_.read_metadata(os.path.join(idx, f)).num_rows
+               for f in files) == n
+
+    got = ann.query_ivf_index(
+        idx, qids, qmat, k=5, nprobe=3
+    ).to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "vec_id"]], expect[["query_id", "vec_id"]],
+        check_dtype=False,
+    )
+    assert np.allclose(got["cos_sim"], expect["cos_sim"], atol=1e-12)
