@@ -297,3 +297,71 @@ def bm25_scores(ds, terms: list[str], text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def lm_cross_entropy(ds, text_col: str = "text", id_col: str = "doc_id",
+                     vocab_k: int = 100):
+    """Unigram language-model cross-entropy per document — the
+    CCNet-style perplexity quality signal (Wenzek et al., LREC 2020:
+    filter web text by LM score): documents whose token distribution
+    diverges from the corpus read high.
+
+    Model: the corpus's top ``vocab_k`` tokens with add-one smoothing
+    over (N tokens, V vocab): p(tok) = (c+1)/(N+V+1), OOV c=0.  The
+    vocabulary is CAPPED at top-V so the broadcast model stays bounded
+    whatever the corpus (at 100 TB swap the exact ``corpus.top_tokens``
+    for ``sketches.topk_tokens_sketch`` — same shape); N comes from one
+    scalar partial sum.  Scoring is one streaming vectorized map: RE2
+    split, C-hash vocab lookup, per-doc mean of -ln p via bincount.
+    Token-less documents are dropped (no distribution to score).
+
+    Returns (id_col, xent float64 rounded 6dp), higher = further from
+    the corpus LM."""
+    from .corpus import TOKEN_SPLIT_PATTERN, top_tokens
+
+    top = top_tokens(ds, text_col=text_col, k=vocab_k)
+    counts = dict(zip(top["token"], top["n"].astype(np.int64)))
+
+    def n_part(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                   TOKEN_SPLIT_PATTERN)
+        )
+        n = int(pc.sum(pc.not_equal(flat, "")).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_total = int(
+        ds.map_batches(n_part, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["n"].sum()
+    )
+    denom = float(n_total + vocab_k + 1)
+    lut = pd.Series(counts, dtype=np.float64)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      TOKEN_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        c = (
+            pd.Series(flat.to_pandas()).map(lut).fillna(0.0)
+            .to_numpy(np.float64)
+        )
+        neglogp = -np.log((c + 1.0) / denom)
+        n = t.num_rows
+        sums = np.bincount(parent[valid], weights=neglogp[valid],
+                           minlength=n)
+        cnts = np.bincount(parent[valid], minlength=n)
+        keep = cnts > 0
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(keep)),
+            "xent": pa.array(np.round(sums[keep] / cnts[keep], 6),
+                             pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -891,3 +891,37 @@ def test_persisted_ivf_index_matches_in_job(tmp_path):
         check_dtype=False,
     )
     assert np.allclose(got["cos_sim"], expect["cos_sim"], atol=1e-12)
+
+
+def test_lm_cross_entropy_matches_bruteforce():
+    """lm_cross_entropy vs a from-scratch unigram model on a tiny corpus:
+    top-V + add-one smoothing, per-doc mean of -ln p; token-less docs
+    dropped; OOV tokens score at c=0."""
+    import math
+    from collections import Counter
+
+    from log_aggregator_ray.functions.textstats import lm_cross_entropy
+
+    docs = ["aa bb aa", "bb cc", "zz qq zz", ""]
+    V = 2  # top-2 vocabulary: aa(3), bb(2) — cc/zz/qq are OOV
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(2)
+    got = lm_cross_entropy(ds, vocab_k=V).to_pandas().set_index("doc_id")
+
+    toks = [d.split() if d else [] for d in docs]
+    cnt = Counter(w for t in toks for w in t)
+    top = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    n = sum(cnt.values())
+    denom = n + V + 1
+    exp = {}
+    for i, t in enumerate(toks):
+        if not t:
+            continue
+        exp[i] = round(sum(-math.log((top.get(w, 0) + 1) / denom)
+                           for w in t) / len(t), 6)
+    assert set(got.index) == set(exp)
+    for i, v in exp.items():
+        assert abs(got.loc[i, "xent"] - v) < 1e-6
+    # the OOV-heavy doc reads strictly higher than the in-vocab one
+    assert got.loc[2, "xent"] > got.loc[0, "xent"]
