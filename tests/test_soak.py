@@ -194,3 +194,40 @@ def test_soak_assign_shards_invariants(big_docs):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     print(f"\nassign_shards 2M docs: {wall:.2f}s")
+
+
+def test_soak_topk_tokens_sketch(big_docs):
+    """Heavy-hitters sketch at 2M docs with m small enough to prune: the
+    guaranteed-set property holds at scale (every token with true count >
+    R is returned with its exact count — here the vocabulary is tiny and
+    counts are huge, so the top-k must be exact)."""
+    from log_aggregator_ray.functions.sketches import topk_tokens_sketch
+
+    docs, words = big_docs
+    t0 = time.perf_counter()
+    got = topk_tokens_sketch(rd.from_arrow(docs), k=5, m=4096,
+                             num_buckets=8)
+    wall = time.perf_counter() - t0
+    # corpus is "w" repeated — one token with count == total words
+    assert got["token"].iloc[0] == "w"
+    assert int(got["n"].iloc[0]) == int(words.sum())
+    print(f"\ntopk sketch 2M docs: {wall:.2f}s")
+
+
+def test_soak_bm25_and_lm_xent(big_docs):
+    """BM25 + LM cross-entropy stream 2M docs without a shuffle: row
+    counts and bounds sane, wall recorded."""
+    from log_aggregator_ray.functions.textstats import (bm25_scores,
+                                                        lm_cross_entropy)
+
+    docs, words = big_docs
+    t0 = time.perf_counter()
+    n_bm = bm25_scores(rd.from_arrow(docs), ["w"]).count()
+    t_bm = time.perf_counter() - t0
+    assert n_bm == N_DOCS  # every doc contains "w"
+    t0 = time.perf_counter()
+    xent = lm_cross_entropy(rd.from_arrow(docs), vocab_k=10)
+    n_x = xent.count()
+    t_x = time.perf_counter() - t0
+    assert n_x == N_DOCS
+    print(f"\nbm25 2M docs: {t_bm:.2f}s; lm_xent 2M docs: {t_x:.2f}s")
