@@ -365,3 +365,46 @@ def lm_cross_entropy(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def chunk_documents(ds, chunk_size: int = 200, stride: int = 150,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into overlapping fixed-size character windows —
+    the RAG/embedding-prep chunking pass: chunk ``j`` covers
+    ``text[j·stride : j·stride + chunk_size]`` for every start offset
+    below the doc length (overlap = chunk_size − stride).
+
+    Pure streaming flat map, no shuffle: per batch, one vectorized
+    ``utf8_slice_codeunits`` per chunk INDEX (bounded by the batch's
+    longest doc / stride, not by row count), masked to docs long enough —
+    never a per-row Python loop.  Empty docs produce no chunks.
+    Returns (id_col, chunk_idx, chunk) rows."""
+    if stride < 1 or chunk_size < stride:
+        raise ValueError("need chunk_size >= stride >= 1 (overlap >= 0)")
+
+    def split(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t[text_col]).to_numpy(zero_copy_only=False)
+        max_k = int(-(-int(lens.max()) // stride)) if len(lens) else 0
+        outs = []
+        for j in range(max_k):
+            keep = lens > j * stride
+            if not keep.any():
+                break
+            sel = t.filter(pa.array(keep))
+            outs.append(pa.table({
+                id_col: sel[id_col],
+                "chunk_idx": pa.array(
+                    np.full(sel.num_rows, j, dtype=np.int64)),
+                "chunk": pc.utf8_slice_codeunits(
+                    sel[text_col], j * stride, j * stride + chunk_size),
+            }))
+        if not outs:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            })
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(split, batch_format="pyarrow",
+                          zero_copy_batch=True)

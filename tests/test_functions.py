@@ -925,3 +925,30 @@ def test_lm_cross_entropy_matches_bruteforce():
         assert abs(got.loc[i, "xent"] - v) < 1e-6
     # the OOV-heavy doc reads strictly higher than the in-vocab one
     assert got.loc[2, "xent"] > got.loc[0, "xent"]
+
+
+def test_chunk_documents_matches_python():
+    """chunk_documents vs plain python slicing: offsets, overlap, tail
+    behavior, and empty-doc exclusion."""
+    from log_aggregator_ray.functions.textstats import chunk_documents
+
+    docs = ["a" * 10, "", "x" * 150, "y" * 151, "z" * 400]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(2)
+    got = (
+        chunk_documents(ds, chunk_size=200, stride=150).to_pandas()
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    exp = []
+    for i, t in enumerate(docs):
+        j = 0
+        while j * 150 < len(t):
+            exp.append((i, j, t[j * 150:j * 150 + 200]))
+            j += 1
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "chunk_idx", "chunk"])
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+    # doc of len 151 yields 2 chunks (tail shorter than chunk_size);
+    # len-150 doc yields exactly 1; empty doc none
+    sizes = got.groupby("doc_id").size()
+    assert sizes.get(2) == 1 and sizes.get(3) == 2 and 1 not in sizes.index
