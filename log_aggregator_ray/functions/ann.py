@@ -476,8 +476,20 @@ def embedding_near_dup(ds, threshold: float = 0.45,
                             for p in id_parts]),
         ]).astype(np.int64)) if id_parts else np.empty(0, np.int64)
 
+        if len(needed) == 0:
+            # Zero LSH collisions (e.g. antipodal vectors): early-return a
+            # typed empty, mirroring dedup.neardup_verified_pairs — the
+            # broadcast gather would otherwise index an empty want array
+            # (ADVICE r4).
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }))
+
         # probe dim from one row to size the guard
-        dim = len(ds.take(1)[0][col]) if len(needed) else 0
+        dim = len(ds.take(1)[0][col])
         broadcast_max_bytes = 256 << 20
         if len(needed) * dim * 8 <= broadcast_max_bytes:
             return _emb_verify_broadcast(ds, pairs, needed, threshold,
@@ -516,6 +528,8 @@ def _emb_verify_broadcast(ds, pairs, needed: np.ndarray, threshold: float,
 
     def gather(t: pa.Table) -> pa.Table:
         want = ray.get(need_ref)
+        if len(want) == 0:
+            return t.slice(0, 0).select([id_col, col])
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(want, ids)
         hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)

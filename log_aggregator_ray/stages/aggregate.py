@@ -367,11 +367,17 @@ def bucketed_pivot(ds, row_key: str, col_key: str, value_col: str,
                              **{str(c): pa.array([], cell_t)
                                 for c in col_values}})
         rk = comb[row_key].combine_chunks()
-        starts = np.flatnonzero(np.r_[
-            True,
-            pc.not_equal(rk.slice(1), rk.slice(0, len(rk) - 1)).to_numpy(
-                zero_copy_only=False),
-        ])
+        # Null-safe run detection: not_equal yields null at value/null
+        # boundaries (falsy after to_numpy), which scattered the null-key
+        # group's cells into the preceding row (ADVICE r4).  Dictionary
+        # codes with null_encoding="encode" are dense non-null ints that
+        # change exactly at run boundaries of the sorted key — including
+        # a trailing all-null run, which now yields its own output row
+        # (Arrow group_by keeps null keys, SQL semantics).
+        codes = pc.dictionary_encode(
+            rk, null_encoding="encode").indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         row_idx = (np.searchsorted(starts, np.arange(len(rk)),
                                    side="right") - 1)
         cols_np = np.array(

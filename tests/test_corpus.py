@@ -368,6 +368,30 @@ def test_bucketed_pivot_matches_pandas():
     assert (got["never"] == 0).all()
 
 
+def test_bucketed_pivot_null_row_key():
+    """Regression (ADVICE r4): null row_key groups must land in their OWN
+    output row, not scatter into the preceding key (pc.not_equal yields
+    null — falsy — at value/null run boundaries)."""
+    from log_aggregator_ray.stages.aggregate import bucketed_pivot
+
+    df = pd.DataFrame({
+        "row": pd.array(["a", "b", None, None], dtype="string"),
+        "col": ["x", "x", "x", "y"],
+        "v": [1.0, 2.0, 100.0, 200.0],
+    })
+    got = (
+        bucketed_pivot(rd.from_pandas(df), "row", "col", "v",
+                       col_values=["x", "y"], num_buckets=1)
+        .to_pandas()
+    )
+    got = got.sort_values("row", na_position="last").reset_index(drop=True)
+    assert len(got) == 3
+    assert got.loc[0, "x"] == 1.0 and got.loc[0, "y"] == 0.0
+    assert got.loc[1, "x"] == 2.0 and got.loc[1, "y"] == 0.0
+    assert pd.isna(got.loc[2, "row"])
+    assert got.loc[2, "x"] == 100.0 and got.loc[2, "y"] == 200.0
+
+
 def test_topk_tokens_sketch_bounds_and_exactness():
     """Pruned-partials heavy hitters: with m forced below the per-block
     vocabulary, every returned count is an exact lower bound within R of

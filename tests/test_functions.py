@@ -282,6 +282,21 @@ def test_embedding_near_dup_lsh_unblocked():
     assert len(true) >= 5
 
 
+def test_embedding_near_dup_zero_candidates():
+    """Regression (ADVICE r4): two antipodal vectors produce ZERO LSH
+    collisions; the unblocked path must return a typed empty result, not
+    IndexError inside the broadcast gather."""
+    m = np.array([[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]],
+                 dtype=np.float32)
+    out = ann.embedding_near_dup(
+        rd.from_arrow(_emb_table(m)), threshold=0.9, block_col=None
+    )
+    # Dataset stays TYPED (to_pandas drops schema on zero-row datasets,
+    # so assert on the dataset schema downstream stages would compose on)
+    assert out.schema().names == ["id_a", "id_b", "cos_sim"]
+    assert out.count() == 0
+
+
 def test_label_centroids_match_numpy():
     rng = np.random.default_rng(4)
     m = rng.standard_normal((90, 8)).astype(np.float32)
