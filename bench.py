@@ -108,15 +108,9 @@ def ensure_bench_corpus(sf_dir: str) -> str:
     return gen.write_corpus_dir(t, path)
 
 
-def run_benchmarks() -> dict:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-    corpus = ensure_bench_corpus(SF_DIR)  # generated once, cached (untimed)
-    _init_ray(NUM_CPUS)
-
-    from log_aggregator_ray.pipelines.flagship import run_flagship
-
-    # warm the page cache so we measure compute + shuffle, not cold disk
+def _count_and_warm_corpus(corpus: str, warm: bool = True) -> int:
+    """Row count from parquet metadata; optionally warm the page cache so
+    timed runs measure compute + shuffle, not cold disk."""
     import glob
 
     import pyarrow.parquet as pq
@@ -124,55 +118,91 @@ def run_benchmarks() -> dict:
     n_turns = 0
     for part in glob.glob(os.path.join(corpus, "*.parquet")):
         n_turns += pq.read_metadata(part).num_rows
-        with open(part, "rb") as f:
-            while f.read(1 << 24):
-                pass
+        if warm:
+            with open(part, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+    return n_turns
 
-    timings: dict[str, float] = {}
+
+def _measure_flagship(corpus: str, reps: int,
+                      doc_chunk_rows: int | None) -> list[float]:
+    """In-process flagship walls (Ray already initialised, corpus warm):
+    ``reps`` timed runs with an idle gate between them.  Output goes to
+    RAM-backed tmpfs when available: the single local disk is a fixed
+    resource that a real N-node cluster's output FS scales with node
+    count, and its asynchronous writeback bleeds across runs (override:
+    GRAFT_BENCH_OUT)."""
+    from log_aggregator_ray.pipelines.flagship import run_flagship
 
     # untimed warmup: spawn the Ray worker pool + actor classes once so the
-    # timed run measures steady-state compute, not process startup
+    # timed runs measure steady-state compute, not process startup
     from log_aggregator_ray.fixtures.generator import ensure_corpus
 
     warm = ensure_corpus("warmup", n_convs=400)
     shutil.rmtree("/tmp/graft_warmup_out", ignore_errors=True)
     run_flagship(warm, "/tmp/graft_warmup_out", num_buckets=NUM_CPUS)
 
-    # headline: full flagship pipeline (parse → enrich → route → reassemble
-    # → partitioned sinks + aggregates + manifests).  Best of 2 runs with a
-    # sync+settle between them — writeback of the previous run's output
-    # otherwise bleeds into the next measurement (±30-50% on this box).
-    # Output goes to RAM-backed tmpfs when available: the single local disk
-    # is a fixed resource that a real N-node cluster's output FS scales
-    # with node count, and its asynchronous writeback bleeds across runs,
-    # corrupting the scaling comparison (override: GRAFT_BENCH_OUT).
     out_root = os.environ.get(
         "GRAFT_BENCH_OUT",
         "/dev/shm/graft_bench" if os.path.isdir("/dev/shm") else "/tmp",
     )
     out_dir = os.path.join(out_root, "graft_bench_out")
-    headline = float("inf")
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    # GRAFT_DOC_CHUNK_ROWS=N opts the headline into the chunked-doc
-    # contract (docs gain doc_part; hot-sink doc parts written
-    # block-parallel — breaks the serial giant-cell finalize floor)
-    doc_chunk_rows = int(os.environ.get("GRAFT_DOC_CHUNK_ROWS", "0")) or None
+    walls: list[float] = []
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
-        subprocess.run(["sync"], check=False)
-        time.sleep(3.0)
+        _settle_idle()
         t0 = time.perf_counter()
         run_flagship(
             corpus, out_dir, num_buckets=64,
             enrich_concurrency=max(2, NUM_CPUS // 4), write_docs=True,
             doc_chunk_rows=doc_chunk_rows,
         )
-        headline = min(headline, time.perf_counter() - t0)
-    timings["flagship"] = round(headline, 3)
+        walls.append(round(time.perf_counter() - t0, 3))
     shutil.rmtree(out_dir, ignore_errors=True)
+    return walls
 
-    # --scaling subprocesses only need the headline number.
+
+def run_flagship_leg() -> dict:
+    """--flagship: measure the flagship headline in THIS process — fresh
+    Ray session, untimed cache+worker warmup, idle-gated best-of-N — and
+    print one JSON line with all walls (the ``--one`` treatment the
+    secondaries got in round 4; VERDICT r4 #2 extends it to the headline,
+    whose in-process best-of-2 was the only unguarded number left)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    corpus = ensure_bench_corpus(SF_DIR)
+    _init_ray(NUM_CPUS)
+    _count_and_warm_corpus(corpus)
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    doc_chunk_rows = int(os.environ.get("GRAFT_DOC_CHUNK_ROWS", "0")) or None
+    walls = _measure_flagship(corpus, reps, doc_chunk_rows)
+    import ray
+
+    ray.shutdown()
+    return {"query": "flagship", "best": min(walls), "walls": walls,
+            "num_cpus": NUM_CPUS, "doc_chunk_rows": doc_chunk_rows,
+            "methodology": "fresh-process best-of-%d, sync+settle, idle gate"
+                           % reps}
+
+
+def run_benchmarks() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    corpus = ensure_bench_corpus(SF_DIR)  # generated once, cached (untimed)
+
+    timings: dict = {}
+
+    # --scaling subprocesses only need the headline number: measure
+    # in-process (pinning is inherited, the interleaved lo/hi pairs handle
+    # ambient weather) and return immediately.
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        _init_ray(NUM_CPUS)
+        n_turns = _count_and_warm_corpus(corpus)
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+        doc_chunk_rows = (int(os.environ.get("GRAFT_DOC_CHUNK_ROWS", "0"))
+                          or None)
+        headline = min(_measure_flagship(corpus, reps, doc_chunk_rows))
+        timings["flagship"] = round(headline, 3)
         import ray
 
         ray.shutdown()
@@ -186,29 +216,32 @@ def run_benchmarks() -> dict:
             "n_turns": int(n_turns),
             "turns_per_sec": round(n_turns / headline, 1),
         }
-    # chunked-doc contract headline (VERDICT r3 #2): same pipeline with
-    # doc_chunk_rows on — hot-sink doc parts written block-parallel by the
-    # emits, no serial giant-cell finalize (measured ~2.5 s off phase 2 at
-    # this corpus's hot share)
-    if not doc_chunk_rows:
-        best_c = float("inf")
-        for _ in range(reps):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            subprocess.run(["sync"], check=False)
-            time.sleep(3.0)
-            t0 = time.perf_counter()
-            run_flagship(
-                corpus, out_dir, num_buckets=64,
-                enrich_concurrency=max(2, NUM_CPUS // 4), write_docs=True,
-                doc_chunk_rows=65536,
-            )
-            best_c = min(best_c, time.perf_counter() - t0)
-        timings["flagship_chunked_docs"] = round(best_c, 3)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
-    import ray
+    n_turns = _count_and_warm_corpus(corpus, warm=False)
 
-    ray.shutdown()
+    # headline + chunked-doc variant (VERDICT r3 #2): each measured in a
+    # FRESH interpreter + fresh Ray session with an idle gate before it
+    # and idle-gated best-of-3 inside (VERDICT r4 #2 — the in-process
+    # best-of-2 form inherited writeback/ambient drift from whatever ran
+    # before it, making a 11-vs-6 s reading unfalsifiable).
+    for key, chunk in (("flagship", os.environ.get("GRAFT_DOC_CHUNK_ROWS",
+                                                   "0")),
+                       ("flagship_chunked_docs", "65536")):
+        if key == "flagship_chunked_docs" and chunk == os.environ.get(
+                "GRAFT_DOC_CHUNK_ROWS", "0"):
+            continue  # headline already ran chunked via env override
+        _settle_idle()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship"],
+            env=dict(os.environ, GRAFT_SF_DIR=SF_DIR,
+                     RAY_GRAFT_CPUS=str(NUM_CPUS),
+                     GRAFT_DOC_CHUNK_ROWS=chunk),
+            capture_output=True, text=True, check=True,
+        ).stdout
+        leg = json.loads(out.strip().splitlines()[-1])
+        timings[key] = leg["best"]
+        timings[f"{key}_walls"] = leg["walls"]
+    headline = timings["flagship"]
     # secondaries: ISOLATED measurement per query (VERDICT r3 #4) — fresh
     # interpreter + fresh Ray session each, sync+settle and an idle gate
     # between them (like the scaling legs), best-of-3 inside the process.
@@ -374,5 +407,7 @@ if __name__ == "__main__":
         run_stats()
     elif "--one" in sys.argv:
         print(json.dumps(run_one_query(sys.argv[sys.argv.index("--one") + 1])))
+    elif "--flagship" in sys.argv:
+        print(json.dumps(run_flagship_leg()))
     else:
         print(json.dumps(run_benchmarks()))
