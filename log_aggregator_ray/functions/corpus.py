@@ -424,3 +424,44 @@ def decontaminate(ds, snippets: list[str], text_col: str = "text",
         return pa.table({id_col: t[id_col], flag_col: hit})
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII classes scrubbed by pii_redact, in application order (earlier classes
+# are replaced before later ones are counted, so e.g. the octets of an
+# already-redacted IP can never be miscounted as a phone number).  The
+# patterns are plain RE2 — DuckDB's regexp_* functions use RE2 too, so an
+# oracle can replay the identical sequence with regexp_replace(..., 'g').
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id",
+               patterns: list[tuple[str, str, str]] | None = None):
+    """PII scrubbing — the standard pre-training hygiene pass alongside
+    decontamination (reference has no equivalent; this is a §2.12
+    training-data op).  For each (class, regex, token) in ``patterns``,
+    count the matches then replace them with the class token, feeding the
+    redacted text to the next class.
+
+    Scale shape: a fixed number of vectorized RE2 passes
+    (pc.count_substring_regex + pc.replace_substring_regex) over streamed
+    Arrow batches — O(classes × corpus bytes), zero shuffle, zero state.
+    Returns (id, n_<class>... , redacted) per document."""
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def scrub(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        cols: dict = {id_col: t[id_col]}
+        for name, pat, tok in pats:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(s, pat), pa.int64())
+            s = pc.replace_substring_regex(s, pat, tok)
+        cols["redacted"] = s
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True)

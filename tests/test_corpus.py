@@ -442,3 +442,31 @@ def test_topk_tokens_sketch_bounds_and_exactness():
         full[["token", "n"]], exact10, check_dtype=False
     )
     assert (full["n_upper"] == full["n"]).all()
+
+
+def test_pii_redact_counts_and_sequencing(ray_session):
+    import ray.data as rd
+
+    from log_aggregator_ray.functions import corpus
+
+    docs = [
+        # two emails, one phone
+        {"doc_id": 1, "text": "mail a@b.co or c.d+x@e-f.org, call 415-555-1234"},
+        # ip + ssn; the ssn must NOT be counted as a phone (shape differs)
+        {"doc_id": 2, "text": "host 10.0.3.200 owner ssn 123-45-6789"},
+        # clean
+        {"doc_id": 3, "text": "no pii here at all"},
+        # ip octets must not leak into later pattern counts (sequencing)
+        {"doc_id": 4, "text": "192.168.001.255 and 999-99-9999 and 999-999-9999"},
+    ]
+    out = (corpus.pii_redact(rd.from_items(docs).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    assert out.loc[1, ["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [2, 0, 0, 1]
+    assert out.loc[1, "redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert out.loc[2, ["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [0, 1, 1, 0]
+    assert out.loc[2, "redacted"] == "host <IP> owner ssn <SSN>"
+    assert out.loc[3, ["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [0, 0, 0, 0]
+    assert out.loc[3, "redacted"] == "no pii here at all"
+    assert out.loc[4, ["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [0, 1, 1, 1]
+    assert out.loc[4, "redacted"] == "<IP> and <SSN> and <PHONE>"
