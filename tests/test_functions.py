@@ -967,3 +967,31 @@ def test_chunk_documents_matches_python():
     # len-150 doc yields exactly 1; empty doc none
     sizes = got.groupby("doc_id").size()
     assert sizes.get(2) == 1 and sizes.get(3) == 2 and 1 not in sizes.index
+
+
+def test_rep_filters_hand_values(ray_session):
+    import ray.data as rd
+
+    from log_aggregator_ray.functions.textstats import rep_filters
+
+    docs = [
+        # "a b" x3 (overlapping) -> 2g 9/11, 3g 10/11, 4g 14/11 clamps to 1
+        {"doc_id": 1, "text": "a b a b a b"},
+        # duplicate line "x": 1 repeat / 4 lines, 1 repeated char / 7 chars
+        {"doc_id": 2, "text": "x\ny\nx\nz"},
+        {"doc_id": 3, "text": ""},
+        # non-overlapping top 2-gram "aaa bbb" x2 -> 14/15
+        {"doc_id": 4, "text": "aaa bbb aaa bbb"},
+    ]
+    df = (rep_filters(rd.from_items(docs).repartition(2))
+          .to_pandas().set_index("doc_id").sort_index())
+
+    import numpy as np
+    assert np.allclose(
+        df.loc[1].tolist(), [0.0, 0.0, 9 / 11, 10 / 11, 1.0])
+    assert np.allclose(
+        df.loc[2, ["dup_line_frac", "dup_line_char_frac"]].tolist(),
+        [0.25, 1 / 7])
+    assert df.loc[3].tolist() == [0.0] * 5
+    assert np.allclose(
+        df.loc[4].tolist(), [0.0, 0.0, 14 / 15, 11 / 15, 1.0])
