@@ -1,0 +1,112 @@
+"""Text → embedding "model inference" stage (graft extension).
+
+No ML runtime exists in this environment, so the "model" is a deterministic
+stand-in with the exact operational shape of real batched inference: weight
+state loaded ONCE per actor in ``__init__`` (a seeded random-projection
+matrix over feature-hashed token counts — the classic hashing-trick
+bag-of-words embedding, Weinberger et al. ICML'09), then one numpy
+gather+scatter+matmul per batch.  Swapping in a real encoder changes only
+``__init__`` (load weights) and the forward pass; the Ray plumbing — actor
+pool, batch sizing, zero-copy Arrow in, ``list<float32>`` out matching the
+fixture ``embeddings`` schema — is the production path and is what the
+tests pin.  Everything downstream (brute/LSH/IVF ANN, embedding near-dup)
+consumes the output column unchanged, closing the text-in gap: the ANN
+family previously required fixture-provided embeddings.
+
+Determinism: token bucketing uses ``stages.route.stable_hash`` (vectorized
+xxhash64, seed 0) — deterministic across processes/actors/sharding for a
+fixed polars version, which route.HASH_KERNEL already tracks for resume
+invalidation; goldens over embeddings carry the same caveat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.route import stable_hash
+from .corpus import TOKEN_SPLIT_PATTERN
+
+
+class TextEmbedder:
+    """Actor-pool stage: deterministic hashing-trick text embedding.
+
+    ``__init__`` materializes the projection matrix (buckets × dim) once
+    per actor — the "model load".  ``__call__`` embeds a batch: tokenize
+    (one RE2 kernel), feature-hash tokens into ``buckets``, accumulate
+    each token's projection row into its document (one ``np.add.at``
+    scatter), L2-normalize.  O(tokens × dim) flops, no Python loop."""
+
+    def __init__(self, dim: int = 64, buckets: int = 4096, seed: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((buckets, dim))
+        self.dim, self.buckets = dim, np.uint64(buckets)
+        self.text_col, self.id_col, self.out_col = text_col, id_col, out_col
+
+    def _embed(self, text: pa.Array | pa.ChunkedArray,
+               n: int) -> np.ndarray:
+        toks = pc.split_pattern_regex(pc.utf8_lower(text),
+                                      TOKEN_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent, flat = parent[keep], flat.filter(pa.array(keep))
+        hb = (stable_hash(flat) % self.buckets).astype(np.int64)
+        out = np.zeros((n, self.dim), np.float64)
+        np.add.at(out, parent, self.W[hb])
+        norms = np.linalg.norm(out, axis=1)
+        return out / np.maximum(norms, 1e-12)[:, None]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        emb = self._embed(t[self.text_col], t.num_rows).astype(np.float32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(t.num_rows + 1, dtype=np.int32) * self.dim),
+            pa.array(emb.ravel(), pa.float32()),
+        )
+        return pa.table({self.id_col: t[self.id_col], self.out_col: lst})
+
+
+def embed_documents(ds, dim: int = 64, buckets: int = 4096, seed: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    out_col: str = "embedding", concurrency: int = 2,
+                    batch_size: int = 1024, num_cpus: float = 0.5):
+    """Embed a text column with an actor pool of ``TextEmbedder``s.
+
+    Scale shape: model state is per-actor (loaded once, never shipped per
+    batch), the map streams, output is (id, list<float32>) — the same
+    layout as the ``embeddings`` fixture table, so every ANN / near-dup
+    operator consumes it unchanged.  The pool runs at fractional
+    ``num_cpus`` (the flagship finalize trick): composed actor stages
+    (embed → CosineScorer → sort) must never reserve the whole node, or
+    the task-pool/shuffle stages downstream starve and the pipeline
+    deadlocks — hit on the 4-CPU test fixture when embed(2)+scorer(2)
+    actors held all 4 CPUs."""
+    return ds.map_batches(
+        TextEmbedder,
+        fn_constructor_kwargs={
+            "dim": dim, "buckets": buckets, "seed": seed,
+            "text_col": text_col, "id_col": id_col, "out_col": out_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+    )
+
+
+def embed_texts(texts: list[str], dim: int = 64, buckets: int = 4096,
+                seed: int = 0) -> np.ndarray:
+    """Driver-side embedding of a few query strings through the IDENTICAL
+    kernel (same class, same weights) — for building ANN query vectors
+    against an embed_documents output."""
+    e = TextEmbedder(dim=dim, buckets=buckets, seed=seed)
+    return e._embed(pa.array(texts, pa.string()), len(texts))

@@ -995,3 +995,40 @@ def test_rep_filters_hand_values(ray_session):
     assert df.loc[3].tolist() == [0.0] * 5
     assert np.allclose(
         df.loc[4].tolist(), [0.0, 0.0, 14 / 15, 11 / 15, 1.0])
+
+
+def test_text_embedder_determinism_and_geometry(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from log_aggregator_ray.functions import ann
+    from log_aggregator_ray.functions.embed import embed_documents, embed_texts
+
+    docs = [{"doc_id": i,
+             "text": f"alpha beta {'gamma ' * (i % 3)}delta token{i % 4}"}
+            for i in range(40)]
+    # identical texts at different ids (i % 12 pattern repeats the text)
+    docs.append({"doc_id": 100, "text": docs[0]["text"]})
+
+    def run(concurrency, parts):
+        df = (embed_documents(rd.from_items(docs).repartition(parts),
+                              dim=32, seed=7, concurrency=concurrency)
+              .to_pandas().set_index("doc_id").sort_index())
+        return np.stack(df["embedding"].to_numpy())
+
+    a = run(2, 3)
+    b = run(3, 8)  # different actor pool + sharding -> identical output
+    assert np.array_equal(a, b)
+    norms = np.linalg.norm(a.astype(np.float64), axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    # identical text -> identical embedding (cos == 1)
+    assert np.array_equal(a[0], a[-1])
+    # driver-side query path agrees with the actor path
+    q = embed_texts([docs[0]["text"]], dim=32, seed=7)[0]
+    assert np.allclose(a[0].astype(np.float64), q, atol=1e-6)
+
+    # text-in ANN: the top hit for doc 0's text is doc 0 (or its twin)
+    eds = embed_documents(rd.from_items(docs).repartition(4), dim=32, seed=7)
+    top = ann.brute_force_topk(eds, q, k=3, id_col="doc_id").to_pandas()
+    assert set(top["doc_id"].head(2)) == {0, 100}
+    assert np.allclose(top["cos_sim"].head(2), 1.0, atol=1e-6)
