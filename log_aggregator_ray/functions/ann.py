@@ -281,11 +281,7 @@ def batch_ivf_topk(ds, query_ids, query_mat, k: int = 10, nlist: int = 16,
     """Approximate batch top-k: sampled k-means codebook (bounded driver
     sample), each query probes its ``nprobe`` nearest lists, corpus rows
     score only against the queries probing their list."""
-    sample = ds.limit(sample_size).map_batches(
-        lambda t: t, batch_format="pyarrow"
-    ).to_pandas()
-    sample = sample.sort_values(id_col).reset_index(drop=True)
-    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    xs = _codebook_sample(ds, sample_size, col, id_col)
     cents = _kmeans_fit(xs, nlist, seed=seed)
     qmat = np.asarray(query_mat, dtype=np.float64)
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
@@ -302,12 +298,59 @@ def batch_ivf_topk(ds, query_ids, query_mat, k: int = 10, nlist: int = 16,
     return _final_topk(scored, k, id_col)
 
 
+def _codebook_sample(ds, sample_size: int, col: str,
+                     id_col: str) -> np.ndarray:
+    """Deterministic UNIFORM codebook sample: global bottom-``sample_size``
+    by stable_hash(id) (VERDICT r4 #5 — the previous ``ds.limit`` took the
+    FIRST blocks, so a corpus sorted/partitioned by label got a biased
+    codebook and skewed list sizes).  The hash ranks rows uniformly and
+    independently of block order/sharding, so the sample — and every
+    codebook and golden built from it — is identical on any layout of the
+    same rows.
+
+    Scale shape: each batch ships at most its bottom-``sample_size``
+    (id, vec, hash) rows; the driver merges and keeps the global bottom-k.
+    Driver intake is ≤ sample_size × blocks; for extreme block counts cap
+    the per-block contribution at O(sample_size/blocks) + Chernoff slack —
+    not needed at any scale this repo benches."""
+    from ..stages.route import stable_hash
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, col])
+        h = stable_hash(t[id_col])
+        if t.num_rows > sample_size:
+            idx = np.argpartition(h, sample_size)[:sample_size]
+            t = t.take(pa.array(idx))
+            h = h[idx]
+        return t.append_column("_h", pa.array(h.astype(np.uint64)))
+
+    cand = (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .to_pandas())
+    cand = (cand.sort_values(["_h", id_col]).head(sample_size)
+            .sort_values(id_col).reset_index(drop=True))
+    return np.stack(cand[col].to_numpy()).astype(np.float64)
+
+
 def _kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 13) -> np.ndarray:
-    """Plain Lloyd k-means on a (normalized) sample — the IVF codebook.
-    Deterministic (fixed seed); numpy-only since no ML libs are present."""
+    """Lloyd k-means with k-means++ seeding (Arthur & Vassilvitskii,
+    SODA'07) on a (normalized) sample — the IVF codebook.  Deterministic
+    (fixed seed); numpy-only since no ML libs are present.  ++ seeding
+    matters for list balance: uniform-random seeds regularly drop a whole
+    natural cluster (two seeds land in one), which folds that cluster
+    into a neighboring list — a 2x-hot list at query time."""
     rng = np.random.default_rng(seed)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    k = min(k, len(x))
+    seeds = [int(rng.integers(len(x)))]
+    d2 = np.maximum(2.0 - 2.0 * (x @ x[seeds[0]]), 0.0)
+    for _ in range(1, k):
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else np.full(len(x), 1.0 / len(x))
+        nxt = int(rng.choice(len(x), p=p))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (x @ x[nxt]), 0.0))
+    c = x[seeds].copy()
     for _ in range(iters):
         assign = (x @ c.T).argmax(axis=1)
         for j in range(len(c)):
@@ -326,13 +369,7 @@ def ivf_topk(ds, query_vec, k: int = 10, nlist: int = 16, nprobe: int = 4,
     only rows whose nearest centroid is among the query's ``nprobe``
     nearest lists.  The standard inverted-file recall/speed trade; the
     scale path when hyperplane LSH's recall is too coarse."""
-    sample = ds.limit(sample_size).map_batches(
-        lambda t: t, batch_format="pyarrow"
-    ).to_pandas()
-    # block arrival order is nondeterministic under the streaming executor —
-    # sort by id so the codebook fit is reproducible for a given sample set
-    sample = sample.sort_values(id_col).reset_index(drop=True)
-    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    xs = _codebook_sample(ds, sample_size, col, id_col)
     cents = _kmeans_fit(xs, nlist, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
@@ -642,11 +679,7 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 16,
 
     import pyarrow.parquet as pq
 
-    sample = ds.limit(sample_size).map_batches(
-        lambda t: t, batch_format="pyarrow"
-    ).to_pandas()
-    sample = sample.sort_values(id_col).reset_index(drop=True)
-    xs = np.stack(sample[col].to_numpy()).astype(np.float64)
+    xs = _codebook_sample(ds, sample_size, col, id_col)
     cents = _kmeans_fit(xs, nlist, seed=seed)
     man_dir = os.path.join(out_dir, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
@@ -659,28 +692,54 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 16,
         a = (m @ c.T).argmax(axis=1).astype(np.int64)
         return t.append_column("_list", pa.array(a))
 
-    def write_list(t: pa.Table) -> "pd.DataFrame":
+    def write_parts(t: pa.Table) -> "pd.DataFrame":
+        """Shard each inverted list across blocks (VERDICT r4 #5): every
+        block-task writes its OWN rows as ``list=NNNNN/part-*.parquet``
+        — one single-list file per (block, list) — so a hot list is
+        written in parallel by every block containing it instead of
+        being one straggler task, and reads of that list split across
+        its parts.  No shuffle at all: the old groupby/map_groups form
+        moved the whole corpus to co-locate each list."""
+        import uuid
+
         import pandas as pd
 
-        li = int(t["_list"][0].as_py())
-        t = t.drop_columns(["_list"])
-        path = os.path.join(out_dir, f"list={li:05d}.parquet")
-        tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(t, tmp, compression=codec)
-        os.replace(tmp, path)
-        man = {"list": li, "rows": int(t.num_rows)}
-        mtmp = os.path.join(man_dir, f".list-{li:05d}.tmp-{os.getpid()}")
-        with open(mtmp, "w") as fh:
-            json.dump(man, fh)
-        os.replace(mtmp, os.path.join(man_dir, f"list-{li:05d}.json"))
-        return pd.DataFrame([man])
+        li = t["_list"].to_numpy(zero_copy_only=False)
+        order = np.argsort(li, kind="stable")
+        t = t.take(pa.array(order))
+        li = li[order]
+        starts = np.flatnonzero(np.r_[True, li[1:] != li[:-1]])
+        ends = np.r_[starts[1:], len(li)]
+        out = []
+        for s, e in zip(starts, ends):
+            lid = int(li[s])
+            sub = t.slice(s, e - s).drop_columns(["_list"])
+            d = os.path.join(out_dir, f"list={lid:05d}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex[:12]}.parquet"
+            tmp = os.path.join(d, f".{name}.tmp-{os.getpid()}")
+            pq.write_table(sub, tmp, compression=codec)
+            os.replace(tmp, os.path.join(d, name))
+            out.append({"list": lid, "rows": int(sub.num_rows),
+                        "file": name})
+        return pd.DataFrame(out)
 
     ran = (
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_list")
-        .map_groups(write_list, batch_format="pyarrow")
+        .map_batches(write_parts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
         .to_pandas()
     )
+    # consolidated per-list manifests (tiny: ≤ nlist × blocks entries on
+    # the driver, each a 3-field dict)
+    for lid, g in ran.groupby("list"):
+        man = {"list": int(lid), "rows": int(g["rows"].sum()),
+               "parts": sorted(g["file"].tolist())}
+        mtmp = os.path.join(man_dir, f".list-{int(lid):05d}.tmp-{os.getpid()}")
+        with open(mtmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(mtmp, os.path.join(man_dir, f"list-{int(lid):05d}.json"))
+    ran = ran.groupby("list", as_index=False)["rows"].sum()
     cpath = os.path.join(out_dir, "centroids.parquet")
     tmp = f"{cpath}.tmp-{os.getpid()}"
     pq.write_table(pa.table({
@@ -688,9 +747,9 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 16,
         "centroid": pa.array([[float(v) for v in c] for c in cents]),
     }), tmp)
     os.replace(tmp, cpath)
-    meta = {"kind": "ivf", "nlist": int(nlist), "dim": int(cents.shape[1]),
-            "seed": int(seed), "col": col, "id_col": id_col,
-            "metric": "cosine"}
+    meta = {"kind": "ivf", "layout": "parts-v2", "nlist": int(nlist),
+            "dim": int(cents.shape[1]), "seed": int(seed), "col": col,
+            "id_col": id_col, "metric": "cosine"}
     mtmp = os.path.join(man_dir, f".meta.tmp-{os.getpid()}")
     with open(mtmp, "w") as fh:
         json.dump(meta, fh)
@@ -714,8 +773,9 @@ def query_ivf_index(index_dir: str, query_ids, query_mat, k: int = 10,
 
     with open(os.path.join(index_dir, "_manifests", "meta.json")) as fh:
         meta = json.load(fh)
-    if meta.get("kind") != "ivf" or meta.get("metric") != "cosine":
-        raise ValueError(f"not a cosine IVF index: {meta}")
+    if (meta.get("kind") != "ivf" or meta.get("metric") != "cosine"
+            or meta.get("layout") != "parts-v2"):
+        raise ValueError(f"not a parts-v2 cosine IVF index: {meta}")
     ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     order = np.argsort(ct["list_id"].to_numpy(zero_copy_only=False))
     cents = np.stack(
@@ -725,11 +785,18 @@ def query_ivf_index(index_dir: str, query_ids, query_mat, k: int = 10,
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
                            1e-12)
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
-    paths = [
-        os.path.join(index_dir, f"list={int(li):05d}.parquet")
-        for li in np.unique(probe)
-    ]
-    paths = [p for p in paths if os.path.exists(p)]  # empty lists: no file
+    # expand each probed list DIRECTORY to its part files explicitly —
+    # read_parquet must see a flat file list (hive-style "list=" dir names
+    # confuse partitioning inference), and an explicit list keeps the read
+    # pruned to exactly the probed lists
+    paths = []
+    for li in np.unique(probe):
+        d = os.path.join(index_dir, f"list={int(li):05d}")
+        if os.path.isdir(d):  # empty lists: no dir
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
     col, id_col = meta["col"], meta["id_col"]
     if not paths:
         import pandas as pd

@@ -892,11 +892,21 @@ def test_persisted_ivf_index_matches_in_job(tmp_path):
     idx = str(tmp_path / "ivf")
     rep = ann.build_ivf_index(mk(), idx, nlist=8)
     assert rep["rows"] == n
-    # partitioned layout on disk: every row in exactly one list file
-    files = [f for f in os.listdir(idx) if f.startswith("list=")]
-    assert 1 < len(files) <= 8
-    assert sum(pq_.read_metadata(os.path.join(idx, f)).num_rows
-               for f in files) == n
+    # sharded layout on disk (VERDICT r4 #5): every row in exactly one
+    # list DIRECTORY of single-list part files; a list touched by several
+    # blocks has several parts (parallel writers, splittable reads)
+    dirs = [d for d in os.listdir(idx) if d.startswith("list=")]
+    assert 1 < len(dirs) <= 8
+    total, multi_part = 0, 0
+    for d in dirs:
+        parts = [p for p in os.listdir(os.path.join(idx, d))
+                 if p.endswith(".parquet")]
+        assert parts
+        multi_part += len(parts) > 1
+        total += sum(pq_.read_metadata(os.path.join(idx, d, p)).num_rows
+                     for p in parts)
+    assert total == n
+    assert multi_part >= 1  # 4 input blocks -> some list has >1 writer
 
     got = ann.query_ivf_index(
         idx, qids, qmat, k=5, nprobe=3
@@ -1032,3 +1042,50 @@ def test_text_embedder_determinism_and_geometry(ray_session):
     top = ann.brute_force_topk(eds, q, k=3, id_col="doc_id").to_pandas()
     assert set(top["doc_id"].head(2)) == {0, 100}
     assert np.allclose(top["cos_sim"].head(2), 1.0, atol=1e-6)
+
+
+def test_ivf_codebook_unbiased_on_sorted_corpus(tmp_path):
+    """A corpus SORTED by cluster must still yield a balanced codebook:
+    the old ds.limit() sample saw only the first blocks (one cluster) and
+    skewed every list; the bottom-k-hash sample is sharding/order
+    invariant (VERDICT r4 #5)."""
+    import json
+    import os
+
+    rng = np.random.default_rng(5)
+    n_per, dim, ncl = 200, 8, 4
+    centers = rng.normal(size=(ncl, dim)) * 4
+    rows, ids = [], []
+    for c in range(ncl):  # sorted by cluster — worst case for limit()
+        pts = centers[c] + rng.normal(size=(n_per, dim)) * 0.3
+        rows.extend(pts.tolist())
+        ids.extend(range(c * n_per, (c + 1) * n_per))
+    t = pa.table({
+        "vec_id": pa.array(np.array(ids, dtype=np.int64)),
+        "embedding": pa.array(rows),
+    })
+    idx = str(tmp_path / "ivf_sorted")
+    # sample_size < one cluster: limit() would fit ALL centroids inside
+    # cluster 0 and dump 3/4 of the corpus into one list
+    ann.build_ivf_index(rd.from_arrow(t).repartition(8), idx,
+                        nlist=ncl, sample_size=150)
+    sizes = []
+    for f in os.listdir(os.path.join(idx, "_manifests")):
+        if f.startswith("list-"):
+            with open(os.path.join(idx, "_manifests", f)) as fh:
+                sizes.append(json.load(fh)["rows"])
+    assert sum(sizes) == ncl * n_per
+    # balanced: no list swallows the majority of the corpus
+    assert max(sizes) < 0.5 * ncl * n_per, sizes
+
+    # order-invariance: shuffled input -> identical codebook
+    import pyarrow.parquet as pq_
+    perm = rng.permutation(len(ids))
+    idx2 = str(tmp_path / "ivf_shuffled")
+    ann.build_ivf_index(rd.from_arrow(t.take(pa.array(perm))).repartition(5),
+                        idx2, nlist=ncl, sample_size=150)
+    c1 = pq_.read_table(os.path.join(idx, "centroids.parquet")).to_pandas()
+    c2 = pq_.read_table(os.path.join(idx2, "centroids.parquet")).to_pandas()
+    assert c1["list_id"].tolist() == c2["list_id"].tolist()
+    for a, b in zip(c1["centroid"], c2["centroid"]):
+        assert np.allclose(a, b, atol=0)
