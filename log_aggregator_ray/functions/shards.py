@@ -92,7 +92,7 @@ def add_ws_token_count(t: pa.Table, text_col: str = "text",
 
 def pack_sequences(ds, budget: int = 2048, text_col: str = "text",
                    id_col: str = "doc_id", order: str = "md5",
-                   num_ranges: int = 16):
+                   num_ranges: int = 16, tokenizer: str = "ws"):
     """Assign every document to a fixed-token-budget training pack.
 
     Semantics: lay the corpus out as one token stream in deterministic
@@ -110,16 +110,28 @@ def pack_sequences(ds, budget: int = 2048, text_col: str = "text",
       3. streaming map adds ``offset[range]`` and emits the pack id.
 
     Returns a Dataset of (id, tokens, pack_id).
+
+    ``tokenizer``: "ws" (whitespace count — the SQL-oracle twin) or
+    "bpe" (frozen-vocab subword count via functions.bpe, the realistic
+    budget; golden-pinned since BPE is not SQL-expressible).  Identical
+    packing machinery either way — only the ``tokens`` column changes.
     """
     _check_order(order, num_ranges)
     keep = [c for c in (id_col, text_col) if c in ds.schema().names]
     ds = ds.map_batches(
         lambda t: t.select(keep), batch_format="pyarrow", zero_copy_batch=True
     )
+    if tokenizer == "bpe":
+        from .bpe import count_tokens_bpe
+
+        ds = count_tokens_bpe(ds, text_col=text_col, id_col=id_col)
+    elif tokenizer != "ws":
+        raise ValueError(f"tokenizer must be 'ws' or 'bpe', got {tokenizer!r}")
 
     def keyed(t: pa.Table) -> pa.Table:
-        t = add_ws_token_count(t, text_col=text_col)
-        t = t.drop_columns([text_col])
+        if "tokens" not in t.column_names:
+            t = add_ws_token_count(t, text_col=text_col)
+            t = t.drop_columns([text_col])
         t, rng = _add_order_cols(t, id_col, order, num_ranges)
         return t.append_column("_range", pa.array(rng, pa.int64()))
 

@@ -151,3 +151,76 @@ def test_decontaminate_regex_metachars(docs):
         rd.from_arrow(t), ["$5.99 (sale)"]
     ).to_pandas().set_index("doc_id")["contaminated"]
     assert bool(got.loc[0]) and not bool(got.loc[1])
+
+
+def test_bpe_token_counter_matches_reference(ray_session):
+    """BPETokenCounter vs a from-scratch greedy merge loop on raw words
+    (cache + dictionary-encode path must not change counts), plus the
+    pack invariants under tokenizer='bpe'."""
+    import numpy as np
+    import ray.data as rd
+
+    from log_aggregator_ray.functions.bpe import (
+        BPETokenCounter,
+        load_merges,
+    )
+    from log_aggregator_ray.functions.shards import pack_sequences
+
+    ranks = load_merges()
+
+    def ref_count(word):
+        sym = list(word)
+        while len(sym) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b) in
+                    enumerate(zip(sym, sym[1:])) if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            a, b = sym[i], sym[i + 1]
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b); j += 2
+                else:
+                    out.append(sym[j]); j += 1
+            sym = out
+        return len(sym)
+
+    docs = [
+        {"doc_id": 0, "text": "customer window merge"},
+        {"doc_id": 1, "text": "zzqx unseenword customer"},  # OOV-ish words
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "the the the"},
+    ]
+    c = BPETokenCounter()
+    import pyarrow as pa
+    out = c(pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+        "text": pa.array([d["text"] for d in docs]),
+    })).to_pandas().set_index("doc_id")
+
+    for d in docs:
+        words = [w for w in d["text"].lower().split() if w]
+        assert out.loc[d["doc_id"], "tokens"] == sum(
+            ref_count(w) for w in words), d
+    # common corpus words compress to one token; junk doesn't
+    assert ref_count("customer") == 1
+    assert ref_count("zzqx") > 1
+
+    # packing invariants under bpe: every doc assigned, pack ids dense
+    # from 0, non-final packs start within budget
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"customer order {'zzqx ' * (i % 5)}row"}
+         for i in range(300)]
+    ).repartition(4)
+    packed = pack_sequences(ds, budget=64, order="fast", num_ranges=8,
+                            tokenizer="bpe").to_pandas()
+    assert len(packed) == 300
+    assert packed["tokens"].min() >= 1
+    pids = np.sort(packed["pack_id"].unique())
+    assert pids[0] == 0 and np.array_equal(pids, np.arange(len(pids)))
+    # per-pack started-token mass: every pack's docs START inside it, so
+    # sum(tokens of docs starting in pack p, minus the last doc's
+    # overhang) stays <= budget; weaker but layout-free: total tokens
+    # conserved
+    assert packed["tokens"].sum() == packed.groupby("pack_id")["tokens"].sum().sum()

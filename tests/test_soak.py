@@ -172,6 +172,34 @@ def test_soak_pack_sequences_invariants(big_docs):
     print(f"\npack_sequences 2M docs: {wall:.2f}s")
 
 
+def test_soak_pack_sequences_bpe_invariants(big_docs):
+    """Same packing contract under the frozen-BPE counter at 2M docs —
+    exercises the unique-word memo cache at scale (Zipfian vocab: the
+    per-word merge loop runs a vanishing fraction of occurrences)."""
+    from log_aggregator_ray.functions import shards
+
+    docs, _ = big_docs
+    budget = 4096
+    t0 = time.perf_counter()
+    got = shards.pack_sequences(
+        rd.from_arrow(docs), budget=budget, order="fast", num_ranges=64,
+        tokenizer="bpe",
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(got) == N_DOCS
+    assert got["doc_id"].is_unique
+    assert int(got["tokens"].min()) >= 1
+    pk = got["pack_id"].to_numpy()
+    assert pk.min() == 0
+    assert set(np.unique(pk)) == set(range(int(pk.max()) + 1))
+    by_pack = got.groupby("pack_id")["tokens"].sum().to_numpy()
+    cum = np.cumsum(by_pack)
+    max_doc = int(got["tokens"].max())
+    upper = (np.arange(len(by_pack), dtype=np.int64) + 1) * budget + max_doc
+    assert (cum <= upper).all()
+    print(f"\npack_sequences_bpe 2M docs: {wall:.2f}s")
+
+
 def test_soak_assign_shards_invariants(big_docs):
     """2M docs → 64 shards: every doc exactly once, shard ids complete,
     per-shard positions are a permutation of 0..len-1, and the assignment

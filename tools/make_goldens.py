@@ -34,7 +34,8 @@ GOLDEN = ["docs_minhash_pairs", "docs_simhash", "docs_simhash_pairs",
           "ann_lsh_topk", "ann_ivf_topk", "ann_batch_ivf_topk",
           "ann_batch_ivf_recall", "docs_fingerprint_fast",
           "docs_train_split_fast", "docs_sample_fast", "media_metadata",
-          "events_hll_users", "docs_embed", "ann_text_topk"]
+          "events_hll_users", "docs_embed", "ann_text_topk",
+          "docs_pack_sequences_bpe"]
 
 
 def main():
