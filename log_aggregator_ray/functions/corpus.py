@@ -465,3 +465,79 @@ def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(scrub, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def decontaminate_ngrams(ds, snippets: list[str], n: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         flag_col: str = "contaminated",
+                         count_col: str = "n_hit_grams"):
+    """Token-n-gram overlap decontamination — the GPT-3-appendix-C-style
+    variant of ``decontaminate``: a document is contaminated if any of
+    its word n-grams appears in the eval set's n-grams, which also
+    catches PARTIAL overlaps (an eval question quoted mid-paragraph with
+    different surrounding text) that substring matching misses.
+
+    Scale shape: the eval set tokenizes driver-side (it is small by
+    construction) into a few thousand n-gram hashes broadcast in the task
+    closure; the corpus streams through one tokenize + one
+    binary_join_element_wise (n zero-copy slices of the flat token
+    array) + one vectorized stable_hash + np.isin per batch — zero
+    shuffle, O(corpus tokens).  Membership is by 64-bit hash on the Ray
+    side (strings on the SQL-oracle side); a false flag needs an xxhash64
+    collision between an eval gram and a corpus gram (~2^-64 per pair —
+    negligible, and only ever flips a flag, never corrupts data).
+
+    Returns (id, contaminated bool, n_hit_grams int64) per document."""
+    import re as _re
+
+    from ..stages.route import stable_hash
+
+    split_re = _re.compile(TOKEN_SPLIT_PATTERN)
+    eval_grams: list[str] = []
+    for s in snippets:
+        toks = [t for t in split_re.split(s.lower()) if t]
+        eval_grams += [" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1)]
+    if not eval_grams:
+        def none(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col],
+                flag_col: pa.array(np.zeros(t.num_rows, bool)),
+                count_col: pa.array(np.zeros(t.num_rows, np.int64)),
+            })
+
+        return ds.map_batches(none, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    eval_hashes = np.unique(stable_hash(pa.array(sorted(set(eval_grams)))))
+
+    def flag(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      TOKEN_SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent, flat = parent[keep], flat.filter(pa.array(keep))
+        m = len(flat)
+        nhit = np.zeros(t.num_rows, np.int64)
+        if m >= n:
+            npos = m - n + 1
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(j, npos) for j in range(n)], " ")
+            ok = parent[:npos] == parent[n - 1:]
+            h = stable_hash(grams)
+            hit = np.isin(h, eval_hashes) & ok
+            nhit = np.bincount(parent[:npos][hit],
+                               minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            flag_col: pa.array(nhit > 0),
+            count_col: pa.array(nhit),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -470,3 +470,40 @@ def test_pii_redact_counts_and_sequencing(ray_session):
     assert out.loc[3, "redacted"] == "no pii here at all"
     assert out.loc[4, ["n_email", "n_ip", "n_ssn", "n_phone"]].tolist() == [0, 1, 1, 1]
     assert out.loc[4, "redacted"] == "<IP> and <SSN> and <PHONE>"
+
+
+def test_decontaminate_ngrams_partial_overlap(ray_session):
+    import ray.data as rd
+
+    from log_aggregator_ray.functions import corpus
+
+    snips = ["alpha beta gamma delta epsilon zeta eta theta iota"]
+    docs = [
+        # full 8-gram inside different surroundings: substring matching
+        # on the raw snippet would MISS this (different punctuation),
+        # n-gram overlap must flag it
+        {"doc_id": 0,
+         "text": "intro: ALPHA beta, gamma delta epsilon zeta eta theta!"},
+        {"doc_id": 1, "text": "alpha beta gamma delta"},          # < n tokens
+        {"doc_id": 2, "text": "nothing shared with the eval set"},
+        # two overlapping hit grams (9 matching tokens)
+        {"doc_id": 3,
+         "text": "x alpha beta gamma delta epsilon zeta eta theta iota y"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (corpus.decontaminate_ngrams(
+        rd.from_items(docs).repartition(2), snips, n=8)
+        .to_pandas().set_index("doc_id").sort_index())
+    assert out["contaminated"].tolist() == [True, False, False, True, False]
+    assert out["n_hit_grams"].tolist() == [1, 0, 0, 2, 0]
+
+    # substring decontamination indeed misses doc 0 (case/punct changed)
+    sub = (corpus.decontaminate(rd.from_items(docs).repartition(2), snips)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert not sub.loc[0, "contaminated"]
+
+    # empty eval set -> typed all-false
+    none = (corpus.decontaminate_ngrams(
+        rd.from_items(docs).repartition(2), [], n=8)
+        .to_pandas())
+    assert not none["contaminated"].any() and (none["n_hit_grams"] == 0).all()
