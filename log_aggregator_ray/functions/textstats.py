@@ -428,85 +428,97 @@ def rep_filters(ds, text_col: str = "text", id_col: str = "doc_id",
     lexsort run-length counting — no Python loop over rows or tokens).
     Fractions are plain double divisions of integer counts, so a SQL
     oracle reproduces them bit-identically."""
-    from .corpus import TOKEN_SPLIT_PATTERN
-
-    def _combine(arr):
-        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-
-    def _flat(list_arr):
-        parent = pc.list_parent_indices(list_arr).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = _combine(pc.list_flatten(list_arr))
-        return parent, flat
-
-    def _run_lengths(doc: np.ndarray, key: np.ndarray):
-        """(doc, key) pairs -> (run_doc, run_count, first_pos) via lexsort."""
-        order = np.lexsort((key, doc))
-        d, k = doc[order], key[order]
-        new = np.ones(len(d), bool)
-        new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
-        first = np.flatnonzero(new)
-        counts = np.diff(np.append(first, len(d)))
-        return d[first], counts, order[first]
-
     def stats(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        text = _combine(t[text_col])
-        total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        denom = np.maximum(total, 1).astype(np.float64)
-        cols: dict = {id_col: t[id_col]}
-
-        # ---- duplicate-line metrics -----------------------------------
-        lines = _combine(pc.split_pattern(text, "\n"))
-        lparent, lflat = _flat(lines)
-        llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        lcodes = _combine(pc.dictionary_encode(lflat)).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        run_doc, run_cnt, run_pos = _run_lengths(lparent, lcodes)
-        rep = (run_cnt - 1).astype(np.float64)
-        lines_per_doc = np.bincount(lparent, minlength=n).astype(np.float64)
-        dup_lines = np.bincount(run_doc, weights=rep, minlength=n)
-        dup_chars = np.bincount(run_doc, weights=rep * llen[run_pos],
-                                minlength=n)
-        cols["dup_line_frac"] = pa.array(
-            dup_lines / np.maximum(lines_per_doc, 1.0))
-        cols["dup_line_char_frac"] = pa.array(dup_chars / denom)
-
-        # ---- top-n-gram coverage --------------------------------------
-        toks = _combine(pc.split_pattern_regex(pc.utf8_lower(text),
-                                               TOKEN_SPLIT_PATTERN))
-        tparent, tflat = _flat(toks)
-        keep = pc.not_equal(tflat, "").to_numpy(zero_copy_only=False)
-        tparent = tparent[keep]
-        tflat = tflat.filter(pa.array(keep))
-        tlen = pc.utf8_length(tflat).to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        codes = _combine(pc.dictionary_encode(tflat)).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        cum = np.concatenate([[0], np.cumsum(tlen)])
-        m = len(codes)
-        for ng in ngrams:
-            cov = np.zeros(n, np.float64)
-            if m >= ng:
-                idx = np.arange(m - ng + 1)
-                ok = tparent[idx] == tparent[idx + ng - 1]
-                # exact composite code: (k<<32 | next) then np.unique
-                # re-encode keeps every round under 32 bits — collision-free
-                k = codes[idx]
-                for j in range(1, ng):
-                    comp = (k << 32) | codes[idx + j]
-                    _, k = np.unique(comp, return_inverse=True)
-                glen = cum[idx + ng] - cum[idx] + (ng - 1)
-                d, g, gl = tparent[idx][ok], k[ok], glen[ok]
-                run_doc, run_cnt, run_pos = _run_lengths(d, g)
-                np.maximum.at(cov, run_doc, run_cnt * gl[run_pos])
-            # occurrences overlap, so count x len can exceed the doc —
-            # clamp to a true fraction (oracle: least(cov/nc, 1.0))
-            cols[f"top_{ng}gram_char_frac"] = pa.array(
-                np.minimum(cov / denom, 1.0))
-        return pa.table(cols)
+        return rep_stats_table(t, text_col=text_col, id_col=id_col,
+                               ngrams=ngrams)
 
     return ds.map_batches(stats, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _combine_arr(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _flat_list(list_arr):
+    parent = pc.list_parent_indices(list_arr).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = _combine_arr(pc.list_flatten(list_arr))
+    return parent, flat
+
+
+def _run_lengths(doc: np.ndarray, key: np.ndarray):
+    """(doc, key) pairs -> (run_doc, run_count, first_pos) via lexsort."""
+    order = np.lexsort((key, doc))
+    d, k = doc[order], key[order]
+    new = np.ones(len(d), bool)
+    new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    first = np.flatnonzero(new)
+    counts = np.diff(np.append(first, len(d)))
+    return d[first], counts, order[first]
+
+
+def rep_stats_table(t: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    ngrams: tuple = (2, 3, 4)) -> pa.Table:
+    """Pure per-batch kernel behind ``rep_filters`` (module-level so the
+    property suite can drive it directly against a literal reference)."""
+    from .corpus import TOKEN_SPLIT_PATTERN
+
+    n = t.num_rows
+    text = _combine_arr(t[text_col])
+    total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    denom = np.maximum(total, 1).astype(np.float64)
+    cols: dict = {id_col: t[id_col]}
+
+    # ---- duplicate-line metrics -----------------------------------
+    lines = _combine_arr(pc.split_pattern(text, "\n"))
+    lparent, lflat = _flat_list(lines)
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    lcodes = _combine_arr(pc.dictionary_encode(lflat)).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    run_doc, run_cnt, run_pos = _run_lengths(lparent, lcodes)
+    rep = (run_cnt - 1).astype(np.float64)
+    lines_per_doc = np.bincount(lparent, minlength=n).astype(np.float64)
+    dup_lines = np.bincount(run_doc, weights=rep, minlength=n)
+    dup_chars = np.bincount(run_doc, weights=rep * llen[run_pos],
+                            minlength=n)
+    cols["dup_line_frac"] = pa.array(
+        dup_lines / np.maximum(lines_per_doc, 1.0))
+    cols["dup_line_char_frac"] = pa.array(dup_chars / denom)
+
+    # ---- top-n-gram coverage --------------------------------------
+    toks = _combine_arr(pc.split_pattern_regex(pc.utf8_lower(text),
+                                           TOKEN_SPLIT_PATTERN))
+    tparent, tflat = _flat_list(toks)
+    keep = pc.not_equal(tflat, "").to_numpy(zero_copy_only=False)
+    tparent = tparent[keep]
+    tflat = tflat.filter(pa.array(keep))
+    tlen = pc.utf8_length(tflat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    codes = _combine_arr(pc.dictionary_encode(tflat)).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(tlen)])
+    m = len(codes)
+    for ng in ngrams:
+        cov = np.zeros(n, np.float64)
+        if m >= ng:
+            idx = np.arange(m - ng + 1)
+            ok = tparent[idx] == tparent[idx + ng - 1]
+            # exact composite code: (k<<32 | next) then np.unique
+            # re-encode keeps every round under 32 bits — collision-free
+            k = codes[idx]
+            for j in range(1, ng):
+                comp = (k << 32) | codes[idx + j]
+                _, k = np.unique(comp, return_inverse=True)
+            glen = cum[idx + ng] - cum[idx] + (ng - 1)
+            d, g, gl = tparent[idx][ok], k[ok], glen[ok]
+            run_doc, run_cnt, run_pos = _run_lengths(d, g)
+            np.maximum.at(cov, run_doc, run_cnt * gl[run_pos])
+        # occurrences overlap, so count x len can exceed the doc —
+        # clamp to a true fraction (oracle: least(cov/nc, 1.0))
+        cols[f"top_{ng}gram_char_frac"] = pa.array(
+            np.minimum(cov / denom, 1.0))
+    return pa.table(cols)

@@ -106,3 +106,87 @@ def test_sink_bloom_never_false_negative(sinks):
     if sinks:
         assert bloom_any_maybe(b, sorted(sinks))
     assert sink_bloom(sorted(sinks)) == b  # deterministic across processes
+
+
+# ---------------------------------------------------------------------------
+# round-5 kernels: repetition metrics + BPE counting vs literal references
+# ---------------------------------------------------------------------------
+
+_word_st = st.text(alphabet="abcz01", min_size=0, max_size=6)
+_doc_st = st.lists(_word_st, min_size=0, max_size=30).map(" ".join)
+_mldoc_st = st.lists(_doc_st, min_size=1, max_size=4).map("\n".join)
+
+
+def _ref_rep_metrics(text: str, ngrams=(2, 3, 4)):
+    """Literal per-doc reference for rep_stats_table: Counter-based."""
+    import re
+    from collections import Counter
+
+    total = max(len(text), 1)
+    lines = text.split("\n")
+    lc = Counter(lines)
+    rep = sum(c - 1 for c in lc.values())
+    repch = sum((c - 1) * len(line) for line, c in lc.items())
+    out = {
+        "dup_line_frac": rep / len(lines),
+        "dup_line_char_frac": repch / total,
+    }
+    toks = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+    for n in ngrams:
+        grams = Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+        cov = max((c * len(g) for g, c in grams.items()), default=0)
+        out[f"top_{n}gram_char_frac"] = min(cov / total, 1.0)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_mldoc_st, min_size=1, max_size=5))
+def test_rep_stats_kernel_matches_reference(texts):
+    from log_aggregator_ray.functions.textstats import rep_stats_table
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = rep_stats_table(t).to_pandas().set_index("doc_id")
+    for i, text in enumerate(texts):
+        exp = _ref_rep_metrics(text)
+        for k, v in exp.items():
+            assert abs(got.loc[i, k] - v) < 1e-12, (text, k, got.loc[i, k], v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcdeghilmnorstuwz", min_size=1,
+                        max_size=12), min_size=0, max_size=15))
+def test_bpe_counter_matches_reference_loop(words):
+    from log_aggregator_ray.functions.bpe import BPETokenCounter, load_merges
+
+    ranks = load_merges()
+
+    def ref_count(word):
+        sym = list(word)
+        while len(sym) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b) in
+                    enumerate(zip(sym, sym[1:])) if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            a, b = sym[i], sym[i + 1]
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b); j += 2
+                else:
+                    out.append(sym[j]); j += 1
+            sym = out
+        return len(sym)
+
+    text = " ".join(words)
+    c = BPETokenCounter()
+    got = c(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text]),
+    })).to_pandas()
+    assert got.loc[0, "tokens"] == sum(ref_count(w) for w in words)
