@@ -423,7 +423,7 @@ def decontaminate(ds, snippets: list[str], text_col: str = "text",
         hit = pc.match_substring_regex(t[text_col], pattern)
         return pa.table({id_col: t[id_col], flag_col: hit})
 
-    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # PII classes scrubbed by pii_redact, in application order (earlier classes
@@ -464,7 +464,7 @@ def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table(cols)
 
     return ds.map_batches(scrub, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, batch_size=None)
 
 
 def decontaminate_ngrams(ds, snippets: list[str], n: int = 8,
@@ -540,4 +540,4 @@ def decontaminate_ngrams(ds, snippets: list[str], n: int = 8,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, batch_size=None)

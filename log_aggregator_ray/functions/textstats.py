@@ -432,8 +432,13 @@ def rep_filters(ds, text_col: str = "text", id_col: str = "doc_id",
         return rep_stats_table(t, text_col=text_col, id_col=id_col,
                                ngrams=ngrams)
 
+    # batch_size sweep (1M docs, single thread): 1k-row batches pay the
+    # kernel's fixed cost (two splits, dictionary encodes, 3 n-gram
+    # rounds) ~73 us/doc; giant batches blow the sort working set out of
+    # cache (524k rows: 32 us/doc).  8k rows is the measured optimum
+    # (12.3 us/doc) — sorts stay cache-resident, fixed cost amortized.
     return ds.map_batches(stats, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True, batch_size=8192)
 
 
 def _combine_arr(arr):

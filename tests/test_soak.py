@@ -15,6 +15,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray.data as rd
 
@@ -259,3 +260,86 @@ def test_soak_bm25_and_lm_xent(big_docs):
     t_x = time.perf_counter() - t0
     assert n_x == N_DOCS
     print(f"\nbm25 2M docs: {t_bm:.2f}s; lm_xent 2M docs: {t_x:.2f}s")
+
+
+def test_soak_text_hygiene_ops(big_docs):
+    """Round-5 text-hygiene ops at 2M docs, each against an ANALYTIC
+    ground truth (no reference implementation in the loop):
+
+    - pii_redact over doc_id-derived injected PII: per-class totals are
+      exact functions of the modulus rules;
+    - rep_filters: all five metrics in [0, 1]; the 'w w w …' corpus has
+      a known top-2-gram ('w w') whose coverage is computable per doc;
+    - decontaminate_ngrams: overlap planted in exactly the doc_ids
+      divisible by 1009 → exact contaminated set."""
+    docs, words = big_docs
+    n = N_DOCS
+
+    # ---- PII: inject per modulus rule, check exact class totals -------
+    from log_aggregator_ray.functions.corpus import (
+        decontaminate_ngrams,
+        pii_redact,
+    )
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        email = np.where(ids % 5 == 0, " a@b.co", "")
+        phone = np.where(ids % 3 == 0, " 415-555-0000", "")
+        joined = pc.binary_join_element_wise(
+            t["text"], pa.array(email), pa.array(phone), "")
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    t0 = time.perf_counter()
+    out = pii_redact(
+        rd.from_arrow(docs).map_batches(inject, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    ).to_pandas()
+    wall_pii = time.perf_counter() - t0
+    assert len(out) == n
+    assert int(out["n_email"].sum()) == (n + 4) // 5
+    assert int(out["n_phone"].sum()) == (n + 2) // 3
+    assert int(out["n_ip"].sum()) == 0 and int(out["n_ssn"].sum()) == 0
+
+    # ---- repetition metrics: analytic per-doc coverage ---------------
+    from log_aggregator_ray.functions.textstats import rep_filters
+
+    t0 = time.perf_counter()
+    rep = rep_filters(rd.from_arrow(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    wall_rep = time.perf_counter() - t0
+    assert len(rep) == n
+    for c in rep.columns.drop("doc_id"):
+        v = rep[c].to_numpy()
+        assert (v >= 0).all() and (v <= 1.0).all(), c
+    # doc = "w " * (k-1) + "w": chars = 2k-1; for k>=2 the top 2-gram is
+    # "w w" (3 chars) occurring k-1 times -> min(3(k-1)/(2k-1), 1)
+    k = words
+    exp2 = np.minimum(np.where(k >= 2, 3.0 * (k - 1), 0.0)
+                      / np.maximum(2 * k - 1, 1), 1.0)
+    assert np.allclose(rep["top_2gram_char_frac"].to_numpy(), exp2,
+                       atol=1e-12)
+    assert (rep["dup_line_frac"] == 0.0).all()  # single-line docs
+
+    # ---- n-gram decontamination: planted overlap, exact hit set ------
+    snip = "q0 q1 q2 q3 q4 q5 q6 q7"
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        add = np.where(ids % 1009 == 0, " " + snip, "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(t["text"], pa.array(add),
+                                                ""),
+        })
+
+    t0 = time.perf_counter()
+    dec = decontaminate_ngrams(
+        rd.from_arrow(docs).map_batches(plant, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+        [snip], n=8,
+    ).to_pandas()
+    wall_dec = time.perf_counter() - t0
+    got_ids = set(dec.loc[dec["contaminated"], "doc_id"])
+    assert got_ids == set(range(0, n, 1009))
+    print(f"\npii_redact 2M docs: {wall_pii:.2f}s; rep_filters: "
+          f"{wall_rep:.2f}s; decontaminate_ngrams: {wall_dec:.2f}s")
