@@ -1089,3 +1089,87 @@ def dedup_against_index(ds, index_dir: str, col: str = "text",
         .groupby("_bucket")
         .map_groups(anti, batch_format="pyarrow")
     )
+
+
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n", num_buckets: int = 64):
+    """CCNet-style corpus-level duplicate-LINE removal (Wenzek et al.,
+    LREC 2020 — the dedup that strips boilerplate headers/footers shared
+    across pages before any document-level pass): explode documents into
+    lines, keep each distinct line's FIRST occurrence corpus-wide
+    (order = (doc_id, line_idx)), rebuild every document from its
+    surviving lines in original order.  Documents whose every line loses
+    drop out entirely.
+
+    Scale shape: explode is a streaming flat map; first-wins is the
+    exact-dedup exchange over (content_hash, doc_id, line_idx, line)
+    candidate rows — per-batch pre-pick ships ≤ one row per distinct
+    line per block, and whole documents never ride the exchange;
+    rebuild is the reassemble pattern (bucketed by doc id, one C
+    lexsort + one vectorized ``pc.binary_join`` per bucket).
+
+    Returns a Dataset of (id_col, text_col) — the deduplicated corpus."""
+    from ..stages.aggregate import _key_bucket_table, bucketed_first_by
+
+    def explode(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(t[text_col], sep)
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        parent = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # line index within its doc: position inside each parent run
+        # (split always yields >=1 line, so every doc has a run)
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        counts = np.diff(np.r_[starts, len(parent)])
+        pos = np.arange(len(parent)) - np.repeat(starts, counts)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[parent]
+        return pa.table({
+            id_col: pa.array(ids),
+            "line_idx": pa.array(pos.astype(np.int64)),
+            "line": flat,
+        })
+
+    lines = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    hashed = lines.map_batches(
+        lambda b: add_hash_column(b, col="line"),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    winners = bucketed_first_by(
+        hashed, "content_hash", [id_col, "line_idx"],
+        num_buckets=num_buckets,
+        columns=[id_col, "line_idx", "line"],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket",
+            pa.array(_key_bucket_table(t, [id_col], num_buckets)))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if "__bucket" in t.column_names:
+            t = t.drop_columns(["__bucket"])
+        if not t.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(id_col, "ascending"),
+                          ("line_idx", "ascending")]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = np.append(starts, len(ids)).astype(np.int32)
+        lv = t["line"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        lst = pa.ListArray.from_arrays(pa.array(offsets), lv)
+        return pa.table({
+            id_col: pc.take(t[id_col], pa.array(starts.astype(np.int64))),
+            text_col: pc.binary_join(lst, sep),
+        })
+
+    return winners.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__bucket").map_groups(rebuild, batch_format="pyarrow")

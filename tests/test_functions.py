@@ -1089,3 +1089,24 @@ def test_ivf_codebook_unbiased_on_sorted_corpus(tmp_path):
     assert c1["list_id"].tolist() == c2["list_id"].tolist()
     for a, b in zip(c1["centroid"], c2["centroid"]):
         assert np.allclose(a, b, atol=0)
+
+
+def test_dedup_lines_first_wins_and_rebuild(ray_session):
+    from log_aggregator_ray.functions.dedup import dedup_lines
+
+    docs = [
+        {"doc_id": 0, "text": "header\nalpha\nfooter"},
+        {"doc_id": 1, "text": "header\nbeta\nfooter"},   # keeps only beta
+        {"doc_id": 2, "text": "header\nfooter"},          # fully dup: drops
+        {"doc_id": 3, "text": "gamma\ngamma\ndelta"},     # intra-doc dup
+        {"doc_id": 4, "text": ""},                        # '' line survives
+        {"doc_id": 5, "text": ""},                        # ...once
+    ]
+    out = (dedup_lines(rd.from_items(docs).repartition(3))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["text"].to_dict() == {
+        0: "header\nalpha\nfooter", 1: "beta", 3: "gamma\ndelta", 4: ""}
+    # sharding-invariance: different block layout, identical result
+    out2 = (dedup_lines(rd.from_items(docs).repartition(1))
+            .to_pandas().set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(out, out2)
