@@ -35,7 +35,8 @@ GOLDEN = ["docs_minhash_pairs", "docs_simhash", "docs_simhash_pairs",
           "ann_batch_ivf_recall", "docs_fingerprint_fast",
           "docs_train_split_fast", "docs_sample_fast", "media_metadata",
           "events_hll_users", "docs_embed", "ann_text_topk",
-          "docs_pack_sequences_bpe", "ann_text_index_topk"]
+          "docs_pack_sequences_bpe", "ann_text_index_topk",
+          "rag_chunk_retrieve"]
 
 
 def main():
