@@ -343,3 +343,39 @@ def test_soak_text_hygiene_ops(big_docs):
     assert got_ids == set(range(0, n, 1009))
     print(f"\npii_redact 2M docs: {wall_pii:.2f}s; rep_filters: "
           f"{wall_rep:.2f}s; decontaminate_ngrams: {wall_dec:.2f}s")
+
+
+def test_soak_line_dedup_analytic(ray_session):
+    """dedup_lines at 2M docs / 6M line occurrences over a 120k-line
+    pool, with a CLOSED-FORM truth: doc i holds pool lines (3i, 3i+1,
+    3i+2) mod P, so line j's first occurrence is flat position j — docs
+    i < P/3 keep all three lines verbatim, every later doc loses all
+    lines and drops.  Exercises the candidate pre-pick + first-wins
+    exchange + rebuild at line volume."""
+    if not os.environ.get("GRAFT_SOAK"):
+        pytest.skip("set GRAFT_SOAK=1 for the 10x-scale suite")
+    from log_aggregator_ray.functions.dedup import dedup_lines
+
+    N, P = 2_000_000, 120_000
+    i = np.arange(N, dtype=np.int64)
+    a, b, c = (3 * i) % P, (3 * i + 1) % P, (3 * i + 2) % P
+    texts = pc.binary_join_element_wise(
+        pa.array(np.char.add("line", a.astype(str))),
+        pa.array(np.char.add("line", b.astype(str))),
+        pa.array(np.char.add("line", c.astype(str))), "\n")
+    docs = pa.table({"doc_id": pa.array(i), "text": texts})
+
+    t0 = time.perf_counter()
+    out = dedup_lines(rd.from_arrow(docs)).to_pandas()
+    wall = time.perf_counter() - t0
+    assert len(out) == P // 3
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(out["doc_id"].to_numpy(),
+                          np.arange(P // 3, dtype=np.int64))
+    k = out["doc_id"].to_numpy()
+    exp = [f"line{3*x}\nline{3*x+1}\nline{3*x+2}" for x in k[:50]]
+    assert out["text"].head(50).tolist() == exp
+    # spot-check the tail too
+    assert out["text"].iloc[-1] == (
+        f"line{3*(P//3-1)}\nline{3*(P//3-1)+1}\nline{3*(P//3-1)+2}")
+    print(f"\nline_dedup 2M docs / 6M lines: {wall:.2f}s")
