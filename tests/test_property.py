@@ -190,3 +190,88 @@ def test_bpe_counter_matches_reference_loop(words):
         "text": pa.array([text]),
     })).to_pandas()
     assert got.loc[0, "tokens"] == sum(ref_count(w) for w in words)
+
+
+_pii_frag = st.sampled_from([
+    "plain words here", "x@y.co", "a.b+c@d-e.org", "10.0.3.200",
+    "999.1.1.1", "123-45-6789", "415-555-1234", "12-34-5678",
+    "1234-555-1234", "", "dot.end.", "@nope",
+])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_pii_frag, min_size=0, max_size=8))
+def test_pii_scrub_matches_sequential_re(frags):
+    """pii_redact's vectorized count-then-replace vs Python re applied
+    in the same class order over the same evolving text."""
+    import re
+
+    from log_aggregator_ray.functions.corpus import PII_PATTERNS
+
+    text = " ".join(frags)
+    # reference: sequential count + replace per class
+    cur, exp_counts = text, {}
+    for name, pat, tok in PII_PATTERNS:
+        exp_counts[f"n_{name}"] = len(re.findall(pat, cur))
+        cur = re.sub(pat, tok, cur)
+
+    from log_aggregator_ray.functions import corpus as corpus_mod
+
+    # drive the kernel directly through the op's scrub closure by
+    # building a one-row dataset-free call: reuse pii patterns through a
+    # tiny table + the module's map function via pii_redact on from_items
+    # would need Ray; instead replicate the kernel inline
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text])})
+    import pyarrow.compute as pc
+    s = t["text"]
+    got = {}
+    for name, pat, tok in PII_PATTERNS:
+        got[f"n_{name}"] = int(pc.count_substring_regex(s, pat)[0].as_py())
+        s = pc.replace_substring_regex(s, pat, tok)
+    assert got == exp_counts, text
+    assert s[0].as_py() == cur
+
+
+_tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.lists(_tok, min_size=0, max_size=14).map(" ".join),
+                min_size=1, max_size=5),
+       st.lists(st.lists(_tok, min_size=3, max_size=6).map(" ".join),
+                min_size=0, max_size=3))
+def test_decontaminate_ngrams_matches_reference(texts, snippets):
+    """Vectorized gram-hash membership vs a literal set-of-ngrams
+    reference (n=3 so short random docs can actually collide)."""
+    import re
+
+    from log_aggregator_ray.functions.corpus import TOKEN_SPLIT_PATTERN
+
+    n = 3
+    split = re.compile(TOKEN_SPLIT_PATTERN)
+
+    def grams(s):
+        toks = [w for w in split.split(s.lower()) if w]
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    eval_set = {g for s in snippets for g in grams(s)}
+    exp = [sum(g in eval_set for g in grams(t)) for t in texts]
+
+    # drive the batch kernel without Ray via a single-batch call path:
+    # decontaminate_ngrams builds its flag() closure over broadcast
+    # hashes; replicate by running the op on a Ray dataset is covered in
+    # test_corpus — here check the hash-membership arithmetic directly
+    from log_aggregator_ray.stages.route import stable_hash
+
+    eh = (np.unique(stable_hash(pa.array(sorted(eval_set))))
+          if eval_set else np.array([], np.uint64))
+    got = []
+    for t in texts:
+        gs = grams(t)
+        if gs:
+            h = stable_hash(pa.array(gs))
+            got.append(int(np.isin(h, eh).sum()))
+        else:
+            got.append(0)
+    assert got == exp
